@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Benchmark: full tracking pipeline FPS on a synthetic MOT17-like workload.
+
+Runs the real compute path on the available accelerator: YOLOv4 (512x512,
+fused preprocess + decode + DIoU-NMS), OSNet-x0.25 ReID over ~40 crops,
+pyramidal-LK flow + RANSAC on gap frames, vectorized Kalman filtering and
+the cascaded association — at 1280x720 with detector_frame_skip=5,
+mirroring the reference's MOT17-04 benchmark row (30-50 objects/frame;
+BASELINE.md: 26 FPS on Jetson Xavier NX, 50-150 expected on desktop GPU).
+
+Because no pretrained weights ship in this environment, the YOLO graph
+runs with random weights and its (empty) output is replaced by synthetic
+detections so the extractor/tracker stages see a realistic load; all
+kernels still execute with production shapes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_WARMUP = 12
+N_FRAMES = 120
+N_OBJECTS = 40
+SIZE = (1280, 720)
+BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
+
+
+def synth_detections(frame_id, rng):
+    from fastmot_tpu.detector import make_detections
+    xs = (np.arange(N_OBJECTS) * 97 + frame_id * 3) % (SIZE[0] - 120)
+    ys = (np.arange(N_OBJECTS) * 53 + frame_id * 2) % (SIZE[1] - 260)
+    w = 60 + (np.arange(N_OBJECTS) * 13) % 40
+    h = 160 + (np.arange(N_OBJECTS) * 17) % 80
+    tlbrs = np.stack([xs, ys, xs + w, ys + h], -1).astype(float)
+    return make_detections(np.rint(tlbrs), np.ones(N_OBJECTS, int),
+                           np.full(N_OBJECTS, 0.9))
+
+
+def main():
+    import scipy.ndimage as ndi
+    from fastmot_tpu import MOT
+
+    rng = np.random.default_rng(0)
+    pad = 16
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (SIZE[1] + 2 * pad, SIZE[0] + 2 * pad, 3))
+        .astype(np.float32), 1.5)
+
+    def frame_at(i):
+        dx, dy = (i * 2) % pad, i % pad
+        return np.ascontiguousarray(
+            np.clip(base[pad + dy:pad + dy + SIZE[1],
+                         pad + dx:pad + dx + SIZE[0]], 0, 255)
+        ).astype(np.uint8)
+
+    mot = MOT(
+        SIZE,
+        detector_type='YOLO',
+        detector_frame_skip=5,
+        class_ids=(1,),
+        yolo_detector_cfg={'model': 'YOLOv4', 'conf_thresh': 0.25,
+                           'nms_thresh': 0.5, 'max_area': 800000,
+                           'min_aspect_ratio': 1.2},
+        feature_extractor_cfgs=({'model': 'OSNet025', 'batch_size': 16},),
+    )
+
+    # splice synthetic detections after the real YOLO graph runs
+    real_post = mot.detector.postprocess
+    state = {'i': 0}
+
+    def patched_post():
+        real_post()  # block on the real fused graph
+        return synth_detections(state['i'], rng)
+
+    mot.detector.postprocess = patched_post
+    mot.reset(1 / 30.0)
+
+    frames = [frame_at(i) for i in range(max(N_WARMUP, 20))]
+
+    # warmup: one full skip cycle to compile every kernel variant
+    for i in range(N_WARMUP):
+        state['i'] = i
+        mot.step(frames[i % len(frames)])
+
+    mot.reset(1 / 30.0)
+    t0 = time.perf_counter()
+    for i in range(N_FRAMES):
+        state['i'] = i
+        mot.step(frames[i % len(frames)])
+    elapsed = time.perf_counter() - t0
+
+    fps = N_FRAMES / elapsed
+    print(json.dumps({
+        'metric': 'fps_mot17_like_yolov4_osnet_n5',
+        'value': round(fps, 2),
+        'unit': 'fps',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

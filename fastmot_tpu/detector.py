@@ -1,0 +1,455 @@
+"""Object detectors: YOLO / SSD (Flax + fused XLA postprocessing) and the
+MOT-Challenge public-detection replay.
+
+Behavioral reference: fastmot/detector.py. The TensorRT engines become
+jitted Flax apply functions; preprocessing (resize / letterbox / normalize)
+and postprocessing (confidence filter, per-class DIoU-NMS, area/aspect
+gates) are fused into the same jitted graph instead of separate
+CuPy/Numba stages. ``detect_async`` dispatches the computation (XLA
+dispatch is asynchronous); ``postprocess`` blocks on the result —
+preserving the reference's CPU/GPU-overlap structure (mot.py:137-158).
+"""
+from __future__ import annotations
+
+import abc
+import configparser
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import geometry as geom
+
+MAX_DETS = 128      # padded capacity of the final detection set
+MAX_RAW = 1024      # candidates entering NMS after confidence filtering
+
+DET_DTYPE = np.dtype(
+    [('tlbr', float, 4),
+     ('label', int),
+     ('conf', float)],
+    align=True
+)
+
+
+def make_detections(tlbrs, labels, confs) -> np.recarray:
+    """Build a DET_DTYPE recarray from plain arrays."""
+    n = len(tlbrs)
+    out = np.empty(n, DET_DTYPE).view(np.recarray)
+    if n:
+        out.tlbr = tlbrs
+        out.label = labels
+        out.conf = confs
+    return out
+
+
+class Detector(abc.ABC):
+    """Detector interface (detector.py:26-42)."""
+
+    @abc.abstractmethod
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, frame):
+        """Detect objects synchronously."""
+        self.detect_async(frame)
+        return self.postprocess()
+
+    @abc.abstractmethod
+    def detect_async(self, frame):
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def postprocess(self):
+        raise NotImplementedError
+
+
+def _resize_bilinear_rgb(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of an HWC image with half-pixel centers."""
+    h, w = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    ys = jnp.clip((jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5,
+                  0.0, h - 1.0)
+    xs = jnp.clip((jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5,
+                  0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def _nms_and_gate(det_out, label_mask, conf_thresh, nms_thresh, max_area,
+                  min_ar, scale_wh, offset):
+    """Shared fused postprocess after head decode (detector.py:322-365):
+    confidence filter -> pixel scaling -> class-aware DIoU-NMS over a
+    fixed candidate budget -> area/aspect gates. Returns padded arrays
+    (tlbr, label, conf, valid) sorted ascending by class."""
+    boxes = det_out[:, 0:4]
+    obj = det_out[:, 4]
+    label = det_out[:, 5].astype(jnp.int32)
+    cls_prob = det_out[:, 6]
+    score = obj * cls_prob
+    keep = label_mask[jnp.clip(label, 0, label_mask.shape[0] - 1)] & \
+        (score >= conf_thresh)
+
+    # scale normalized tlwh to pixels and undo the letterbox offset
+    xy = boxes[:, 0:2] * scale_wh[:2] - offset
+    wh = boxes[:, 2:4] * scale_wh[2:]
+    tlbr = geom.to_tlbr(jnp.concatenate([xy, wh], axis=1))
+
+    # fixed-budget candidate selection (top MAX_RAW by score)
+    cand_score = jnp.where(keep, score, -1.0)
+    top_score, top_i = jax.lax.top_k(cand_score, min(MAX_RAW, score.shape[0]))
+    c_tlbr = tlbr[top_i]
+    c_label = label[top_i]
+    c_obj = obj[top_i]
+    c_cls = cls_prob[top_i]
+    c_valid = top_score > 0
+
+    # class-aware DIoU-NMS: suppression only within the same class
+    # (detector.py:344-354 runs per-class NMS on class-sorted slices)
+    overlap = geom._diou_matrix(c_tlbr, 0.6)
+    same_cls = c_label[:, None] == c_label[None, :]
+    overlap = jnp.where(same_cls, overlap, -jnp.inf)
+    nms_keep = geom._greedy_suppress(overlap, c_obj, c_valid, nms_thresh)
+
+    area = geom.area(c_tlbr)
+    ar = geom.aspect_ratio(c_tlbr)
+    final = nms_keep & (area > 0) & (area <= max_area) & (ar >= min_ar)
+
+    # order by class ascending, then score descending within class
+    order_key = c_label.astype(jnp.float32) * 1e4 - c_obj * c_cls
+    order_key = jnp.where(final, order_key, jnp.inf)
+    order = jnp.argsort(order_key)[:MAX_DETS]
+    out_valid = final[order]
+    return (c_tlbr[order], c_label[order],
+            (c_obj * c_cls)[order], out_valid)
+
+
+class YOLODetector(Detector):
+    """YOLO detector with fused preprocessing + decode + NMS
+    (detector.py:220-365)."""
+
+    def __init__(self, size,
+                 class_ids,
+                 model='YOLOv4',
+                 conf_thresh=0.25,
+                 nms_thresh=0.5,
+                 max_area=800000,
+                 min_aspect_ratio=1.2):
+        super().__init__(size)
+        from .models import registry
+        from .models.yolo import decode_heads
+        self.model = registry.YOLOModel.get_model(model)
+        assert 0 <= conf_thresh <= 1
+        self.conf_thresh = conf_thresh
+        assert 0 <= nms_thresh <= 1
+        self.nms_thresh = nms_thresh
+        assert max_area >= 0
+        self.max_area = max_area
+        assert min_aspect_ratio >= 0
+        self.min_aspect_ratio = min_aspect_ratio
+
+        self.label_mask = np.zeros(self.model.NUM_CLASSES, dtype=bool)
+        try:
+            self.label_mask[tuple(class_ids),] = True
+        except IndexError as err:
+            raise ValueError('Unsupported class IDs') from err
+
+        self.module, self.params = self.model.init_params()
+        self._decode_heads = decode_heads
+
+        # letterbox geometry (detector.py:302-320)
+        src_size = np.array(self.size)
+        c, ih, iw = self.model.INPUT_SHAPE
+        dst_size = np.array([iw, ih])
+        if self.model.LETTERBOX:
+            scale_factor = min(dst_size / src_size)
+            scaled_size = np.rint(src_size * scale_factor).astype(int)
+            img_offset = ((dst_size - scaled_size) / 2).astype(int)
+            self._roi = (int(img_offset[1]), int(img_offset[0]),
+                         int(scaled_size[1]), int(scaled_size[0]))
+            self.upscaled_sz = np.rint(dst_size / scale_factor).astype(int)
+            self.bbox_offset = (self.upscaled_sz - src_size) / 2
+        else:
+            self._roi = (0, 0, ih, iw)
+            self.upscaled_sz = src_size
+            self.bbox_offset = np.zeros(2)
+
+        self._pending = None
+        self._kernel = self._build_kernel()
+
+    def _build_kernel(self):
+        module = self.module
+        c, ih, iw = self.model.INPUT_SHAPE
+        oy, ox, rh, rw = self._roi
+        anchors = tuple(tuple(a) for a in self.model.ANCHORS)
+        scales = tuple(self.model.SCALES)
+        new_coords = self.model.NEW_COORDS
+        label_mask = jnp.asarray(self.label_mask)
+        scale_wh = jnp.asarray(
+            np.concatenate([self.upscaled_sz, self.upscaled_sz]),
+            jnp.float32)
+        offset = jnp.asarray(self.bbox_offset, jnp.float32)
+        conf_thresh = self.conf_thresh
+        nms_thresh = self.nms_thresh
+        max_area = self.max_area
+        min_ar = self.min_aspect_ratio
+        decode = self._decode_heads
+
+        @jax.jit
+        def kernel(params, frame):
+            f = frame.astype(jnp.float32)
+            rgb = f[..., ::-1] / 255.0
+            resized = _resize_bilinear_rgb(rgb, (rh, rw))
+            canvas = jnp.full((ih, iw, 3), 0.5, jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(canvas, resized, (oy, ox, 0))
+            heads = module.apply(params, canvas[None])
+            det_out = decode(heads, anchors, scales, (ih, iw), new_coords)[0]
+            return _nms_and_gate(det_out, label_mask, conf_thresh, nms_thresh,
+                                 max_area, min_ar, scale_wh, offset)
+
+        return kernel
+
+    def detect_async(self, frame):
+        """Dispatch the fused detector graph (non-blocking)."""
+        self._pending = self._kernel(self.params, jnp.asarray(frame))
+
+    def postprocess(self):
+        """Block on the dispatched graph and build the recarray."""
+        tlbr, label, conf, valid = (np.asarray(o) for o in self._pending)
+        self._pending = None
+        keep = valid
+        return make_detections(tlbr[keep].astype(float),
+                               label[keep].astype(int),
+                               conf[keep].astype(float))
+
+
+class SSDDetector(Detector):
+    """SSD detector with frame tiling into one batch (detector.py:45-217)."""
+
+    def __init__(self, size,
+                 class_ids,
+                 model='SSDInceptionV2',
+                 tile_overlap=0.25,
+                 tiling_grid=(4, 2),
+                 conf_thresh=0.5,
+                 merge_thresh=0.6,
+                 max_area=120000):
+        super().__init__(size)
+        from .models import registry
+        from .models.ssd import decode_ssd, generate_anchors
+        self.model = registry.SSDModel.get_model(model)
+        assert 0 <= tile_overlap <= 1
+        self.tile_overlap = tile_overlap
+        assert tiling_grid[0] >= 1 and tiling_grid[1] >= 1
+        self.tiling_grid = tuple(tiling_grid)
+        assert 0 <= conf_thresh <= 1
+        self.conf_thresh = conf_thresh
+        assert 0 <= merge_thresh <= 1
+        self.merge_thresh = merge_thresh
+        assert max_area >= 0
+        self.max_area = max_area
+
+        self.label_mask = np.zeros(self.model.NUM_CLASSES, dtype=bool)
+        try:
+            self.label_mask[tuple(class_ids),] = True
+        except IndexError as err:
+            raise ValueError('Unsupported class IDs') from err
+
+        self.batch_size = int(np.prod(self.tiling_grid))
+        self.tiles, self.tiling_region_sz = self._generate_tiles()
+        self.scale_factor = np.array(self.size) / self.tiling_region_sz
+        self.module, self.params = self.model.init_params()
+        self._anchors = jnp.asarray(generate_anchors())
+        self._decode = decode_ssd
+        self._pending = None
+        self._kernel = self._build_kernel()
+
+    def _generate_tiles(self):
+        """Tile layout over a slightly upscaled region (detector.py:123-131)."""
+        c, ih, iw = self.model.INPUT_SHAPE
+        tile_size = np.array([iw, ih])
+        tiling_grid = np.array(self.tiling_grid)
+        step_size = (1 - self.tile_overlap) * tile_size
+        total_size = np.rint((tiling_grid - 1) * step_size + tile_size).astype(int)
+        tiles = np.array([
+            np.asarray(geom.to_tlbr(np.array(
+                [c_i * step_size[0], r * step_size[1], iw, ih], np.float32)))
+            for r in range(tiling_grid[1]) for c_i in range(tiling_grid[0])])
+        return tiles.astype(np.float32), tuple(total_size)
+
+    def _build_kernel(self):
+        module = self.module
+        c, ih, iw = self.model.INPUT_SHAPE
+        rw, rh = self.tiling_region_sz
+        tiles = jnp.asarray(self.tiles, jnp.int32)
+        anchors = self._anchors
+        topk = self.model.TOPK
+        decode = self._decode
+
+        @jax.jit
+        def kernel(params, frame):
+            f = frame.astype(jnp.float32)
+            rgb = f[..., ::-1]
+            region = _resize_bilinear_rgb(rgb, (rh, rw))
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(region, (tiles[i, 1], tiles[i, 0], 0),
+                                      (ih, iw, 3))
+                for i in range(tiles.shape[0])])
+            x = crops * (2.0 / 255.0) - 1.0    # detector.py:152
+            locs, confs = module.apply(params, x)
+            return decode(locs, confs, anchors, topk)
+
+        return kernel
+
+    def detect_async(self, frame):
+        self._pending = self._kernel(self.params, jnp.asarray(frame))
+
+    def postprocess(self):
+        """Decode per-tile top-k, filter, merge across tiles
+        (detector.py:154-217)."""
+        det_out = np.asarray(self._pending)   # [tiles, topk, 7]
+        self._pending = None
+        detections = []
+        tile_ids = []
+        for tile_idx in range(det_out.shape[0]):
+            tile = self.tiles[tile_idx]
+            w = tile[2] - tile[0] + 1
+            h = tile[3] - tile[1] + 1
+            for row in det_out[tile_idx]:
+                label = int(row[1])
+                conf = float(row[2])
+                if conf < self.conf_thresh:
+                    break
+                if self.label_mask[label]:
+                    xmin = (row[3] * w + tile[0]) * self.scale_factor[0]
+                    ymin = (row[4] * h + tile[1]) * self.scale_factor[1]
+                    xmax = (row[5] * w + tile[0]) * self.scale_factor[0]
+                    ymax = (row[6] * h + tile[1]) * self.scale_factor[1]
+                    tlbr = np.rint([xmin, ymin, xmax, ymax])
+                    area = max(tlbr[2] - tlbr[0] + 1, 0) * \
+                        max(tlbr[3] - tlbr[1] + 1, 0)
+                    if 0 < area <= self.max_area:
+                        detections.append((tlbr, label, conf))
+                        tile_ids.append(tile_idx)
+        dets = np.fromiter(detections, DET_DTYPE,
+                           len(detections)).view(np.recarray)
+        if len(dets) == 0:
+            return dets
+        return self._merge(dets, np.array(tile_ids), self.batch_size,
+                           self.merge_thresh)
+
+    @staticmethod
+    def _merge(dets, tile_ids, num_tile, thresh):
+        """Cross-tile duplicate merge via IoM-threshold DFS
+        (detector.py:180-217)."""
+        def iom(a, b):
+            iw = min(a[2], b[2]) - max(a[0], b[0]) + 1
+            ih = min(a[3], b[3]) - max(a[1], b[1]) + 1
+            if iw <= 0 or ih <= 0:
+                return 0.0
+            area_a = (a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+            area_b = (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
+            return iw * ih / min(area_a, area_b)
+
+        n = len(dets)
+        neighbors = [[] for _ in range(n)]
+        for i in range(n):
+            max_ioms = np.zeros(num_tile)
+            for j in range(n):
+                if tile_ids[i] != tile_ids[j] and dets[i].label == dets[j].label:
+                    overlap = iom(dets[i].tlbr, dets[j].tlbr)
+                    if overlap >= thresh and overlap > max_ioms[tile_ids[j]]:
+                        max_ioms[tile_ids[j]] = overlap
+                        neighbors[i].append(j)
+
+        keep = set(range(n))
+        for i in range(n):
+            if neighbors[i] and tile_ids[i] != -1:
+                tile_ids[i] = -1
+                stack = [i]
+                candidates = []
+                while stack:
+                    for j in neighbors[stack.pop()]:
+                        if tile_ids[j] != -1:
+                            candidates.append(j)
+                            tile_ids[j] = -1
+                            stack.append(j)
+                for k in candidates:
+                    dets[i].tlbr[:] = [min(dets[i].tlbr[0], dets[k].tlbr[0]),
+                                       min(dets[i].tlbr[1], dets[k].tlbr[1]),
+                                       max(dets[i].tlbr[2], dets[k].tlbr[2]),
+                                       max(dets[i].tlbr[3], dets[k].tlbr[3])]
+                    dets[i].conf = max(dets[i].conf, dets[k].conf)
+                    keep.discard(k)
+        dets = dets[np.array(sorted(keep))]
+        return dets[np.argsort(dets.label, kind='stable')].view(np.recarray)
+
+
+class PublicDetector(Detector):
+    """Replays MOT Challenge public detections (detector.py:368-431)."""
+
+    def __init__(self, size,
+                 class_ids,
+                 frame_skip,
+                 sequence_path=None,
+                 conf_thresh=0.5,
+                 max_area=800000):
+        super().__init__(size)
+        assert tuple(class_ids) == (1,)
+        self.frame_skip = frame_skip
+        assert sequence_path is not None
+        seq_root = Path(sequence_path)
+        if not seq_root.is_absolute():
+            seq_root = Path(__file__).parents[1] / sequence_path
+        self.seq_root = seq_root
+        assert 0 <= conf_thresh <= 1
+        self.conf_thresh = conf_thresh
+        assert max_area >= 0
+        self.max_area = max_area
+
+        assert self.seq_root.exists(), f'{self.seq_root} not found'
+        seqinfo = configparser.ConfigParser()
+        seqinfo.read(self.seq_root / 'seqinfo.ini')
+        self.seq_size = (int(seqinfo['Sequence']['imWidth']),
+                         int(seqinfo['Sequence']['imHeight']))
+
+        self.detections = defaultdict(list)
+        self.frame_id = 0
+
+        size_arr = np.array(self.size, float)
+        seq_size = np.array(self.seq_size, float)
+        det_txt = self.seq_root / 'det' / 'det.txt'
+        for row in np.loadtxt(det_txt, delimiter=','):
+            frame_id = int(row[0]) - 1
+            tlbr = np.asarray(geom.to_tlbr(row[2:6].astype(np.float32)),
+                              dtype=float)
+            conf = 1.0
+            label = 1  # person
+            tlbr[:2] = tlbr[:2] / seq_size * size_arr
+            tlbr[2:] = tlbr[2:] / seq_size * size_arr
+            tlbr = np.rint(tlbr)
+            area = max(tlbr[2] - tlbr[0] + 1, 0) * max(tlbr[3] - tlbr[1] + 1, 0)
+            if conf >= self.conf_thresh and area <= self.max_area:
+                self.detections[frame_id].append((tlbr, label, conf))
+
+    def detect_async(self, frame):
+        pass
+
+    def postprocess(self):
+        dets = self.detections[self.frame_id]
+        out = np.array(dets, DET_DTYPE).view(np.recarray) if dets else \
+            np.empty(0, DET_DTYPE).view(np.recarray)
+        self.frame_id += self.frame_skip
+        return out

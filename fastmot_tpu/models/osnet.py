@@ -1,0 +1,144 @@
+"""OSNet ReID feature extractors in Flax.
+
+Behavioral reference: fastmot/models/reid.py (OSNet025 / OSNet10 ONNX →
+TensorRT engines; 256x128 input, 512-d embedding). Here the architecture
+itself is implemented as a Flax module (omni-scale residual blocks with
+unified aggregation gates, per the OSNet paper "Omni-Scale Feature
+Learning for Person Re-Identification", Zhou et al. 2019) so inference is
+a single jitted XLA graph on TPU — bfloat16 matmuls on the MXU, fused with
+the crop/resize/normalize preprocessing in feature_extractor.py.
+
+Weights: randomly initialized by default (no network egress in this
+environment); ``load_npz`` accepts converted pretrained parameters with
+matching pytree structure.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .registry import ReIDModel, register_reid
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, self.kernel, self.strides, padding='SAME',
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=jnp.bfloat16)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class LiteConv(nn.Module):
+    """Depthwise-separable 3x3 ("Lite" conv of the OSNet paper)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=jnp.bfloat16)(x)
+        x = nn.Conv(self.features, (3, 3), padding='SAME',
+                    feature_group_count=self.features, use_bias=False,
+                    dtype=jnp.bfloat16)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class AggregationGate(nn.Module):
+    """Unified aggregation gate: channel attention shared by all streams."""
+    features: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        v = jnp.mean(x, axis=(1, 2))
+        v = nn.Dense(max(self.features // self.reduction, 4),
+                     dtype=jnp.float32)(v)
+        v = nn.relu(v)
+        v = nn.Dense(self.features, dtype=jnp.float32)(v)
+        gate = jax.nn.sigmoid(v)
+        return x * gate[:, None, None, :]
+
+
+class OSBlock(nn.Module):
+    """Omni-scale residual block: 4 streams of 1..4 stacked LiteConvs,
+    fused by a shared aggregation gate, plus identity shortcut."""
+    features: int
+    bottleneck_reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        mid = max(self.features // self.bottleneck_reduction, 4)
+        identity = x
+        y = ConvBNReLU(mid, (1, 1))(x)
+        gate = AggregationGate(mid)
+        out = None
+        for t in range(1, 5):
+            s = y
+            for _ in range(t):
+                s = LiteConv(mid)(s)
+            s = gate(s)
+            out = s if out is None else out + s
+        out = ConvBNReLU(self.features, (1, 1), use_relu=False)(out)
+        if identity.shape[-1] != self.features:
+            identity = ConvBNReLU(self.features, (1, 1), use_relu=False)(identity)
+        return nn.relu(out + identity)
+
+
+class OSNet(nn.Module):
+    """OSNet backbone + embedding head."""
+    channels: tuple[int, ...] = (16, 64, 96, 128)  # x0.25 multiplier
+    feature_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        x = ConvBNReLU(c[0], (7, 7), (2, 2))(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
+        for stage, ch in enumerate(c[1:]):
+            x = OSBlock(ch)(x)
+            x = OSBlock(ch)(x)
+            if stage < len(c) - 2:
+                x = ConvBNReLU(ch, (1, 1))(x)
+                x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = ConvBNReLU(self.feature_dim, (1, 1))(x)
+        x = jnp.mean(x, axis=(1, 2))          # global average pool
+        x = nn.Dense(self.feature_dim, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return x.astype(jnp.float32)
+
+
+@register_reid
+class OSNet025(ReIDModel):
+    """OSNet x0.25 (reid.py:95-100): 256x128 input, 512-d, euclidean."""
+    INPUT_SHAPE = (3, 256, 128)
+    OUTPUT_LAYOUT = 512
+    METRIC = 'euclidean'
+    CHANNELS = (16, 64, 96, 128)
+
+    @classmethod
+    def build(cls):
+        return OSNet(channels=cls.CHANNELS, feature_dim=cls.OUTPUT_LAYOUT)
+
+
+@register_reid
+class OSNet10(ReIDModel):
+    """OSNet x1.0 (reid.py:103-109): cosine metric."""
+    INPUT_SHAPE = (3, 256, 128)
+    OUTPUT_LAYOUT = 512
+    METRIC = 'cosine'
+    CHANNELS = (64, 256, 384, 512)
+
+    @classmethod
+    def build(cls):
+        return OSNet(channels=cls.CHANNELS, feature_dim=cls.OUTPUT_LAYOUT)

@@ -1,0 +1,94 @@
+"""Pairwise distance kernels as batched jnp ops.
+
+Behavioral reference: fastmot/utils/distance.py (Numba prange loops). The
+TPU formulation computes whole [N, M] matrices in one shot: euclidean and
+cosine distances are expressed through a single [N, D] x [D, M] matmul so
+the contraction lands on the MXU, with masking applied as a vectorized
+select afterwards (the reference's ``empty_mask``/``fill_val`` semantics,
+distance.py:17-32).
+"""
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import area, bbox_ious, enclosing, get_center, get_width_height
+
+INF_DIST = 1e5
+
+
+class Metric(enum.Enum):
+    EUCLIDEAN = 0
+    COSINE = 1
+
+
+def euclidean_dist(xa: jax.Array, xb: jax.Array) -> jax.Array:
+    """[N, M] euclidean distances via the |a|^2 + |b|^2 - 2ab expansion."""
+    a2 = jnp.sum(xa * xa, axis=-1)[:, None]
+    b2 = jnp.sum(xb * xb, axis=-1)[None, :]
+    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    return jnp.sqrt(sq)
+
+
+def cosine_dist(xa: jax.Array, xb: jax.Array) -> jax.Array:
+    """[N, M] cosine distances: 1 - a.b / (|a||b|) (distance.py:66-87)."""
+    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32)
+    na = jnp.linalg.norm(xa, axis=-1)[:, None]
+    nb = jnp.linalg.norm(xb, axis=-1)[None, :]
+    denom = na * nb
+    return 1.0 - ab / jnp.where(denom > 0, denom, 1.0)
+
+
+def cdist(xa: jax.Array, xb: jax.Array, metric: Metric,
+          empty_mask: jax.Array | None = None,
+          fill_val: float = 1.0) -> jax.Array:
+    """Masked pairwise distance (distance.py:16-32).
+
+    ``empty_mask[i, j]`` True means "no comparable features" — the entry is
+    replaced by ``fill_val`` rather than computed.
+    """
+    if metric == Metric.EUCLIDEAN:
+        y = euclidean_dist(xa, xb)
+    elif metric == Metric.COSINE:
+        y = cosine_dist(xa, xb)
+    else:
+        raise ValueError('Unsupported distance metric')
+    if empty_mask is not None:
+        y = jnp.where(empty_mask, fill_val, y)
+    return y
+
+
+def iou_dist(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """1 - IoU pairwise matrix (distance.py:90-108)."""
+    return 1.0 - bbox_ious(tlbrs1, tlbrs2)
+
+
+def giou_dist(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """(1 - GIoU) / 2 pairwise matrix (distance.py:111-134)."""
+    iou = bbox_ious(tlbrs1, tlbrs2)
+    tl = jnp.maximum(tlbrs1[:, None, 0:2], tlbrs2[None, :, 0:2])
+    br = jnp.minimum(tlbrs1[:, None, 2:4], tlbrs2[None, :, 2:4])
+    wh = br - tl + 1.0
+    inter = jnp.where(jnp.all(wh > 0, axis=-1), wh[..., 0] * wh[..., 1], 0.0)
+    union = area(tlbrs1)[:, None] + area(tlbrs2)[None, :] - inter
+    encl = enclosing(tlbrs1[:, None, :], tlbrs2[None, :, :])
+    ew, eh = get_width_height(encl)
+    area_encl = ew * eh
+    giou = iou - (area_encl - union) / jnp.maximum(area_encl, 1e-12)
+    return (1.0 - giou) * 0.5
+
+
+def diou_dist(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """(1 - DIoU) / 2 pairwise matrix with beta=0.6 (distance.py:137-162)."""
+    iou = bbox_ious(tlbrs1, tlbrs2)
+    c1 = get_center(tlbrs1)
+    c2 = get_center(tlbrs2)
+    d = jnp.sum((c1[:, None, :] - c2[None, :, :]) ** 2, axis=-1)
+    encl = enclosing(tlbrs1[:, None, :], tlbrs2[None, :, :])
+    ew, eh = get_width_height(encl)
+    c = ew * ew + eh * eh
+    diou = iou - (d / jnp.maximum(c, 1e-12)) ** 0.6
+    return (1.0 - diou) * 0.5

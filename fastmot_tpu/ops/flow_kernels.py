@@ -1,0 +1,596 @@
+"""TPU-native optical-flow kernels: corners, pyramidal LK, RANSAC.
+
+Behavioral reference: fastmot/flow.py, which uses OpenCV
+(goodFeaturesToTrack, FastFeatureDetector, calcOpticalFlowPyrLK,
+findHomography, estimateAffinePartial2D) plus Numba filters. The TPU
+formulation replaces every data-dependent sequential construct with a
+fixed-budget, masked, batched equivalent:
+
+  * GFTT / FAST -> one Shi-Tomasi (min-eigenvalue) response map per image
+    and grid-bucketed top-k selection. The 8-px candidate grid plays the
+    role of GFTT's minDistance sweep; the same detector serves background
+    points (role of FAST). This is a documented divergence: corner
+    *positions* differ from OpenCV's, but the downstream LK/RANSAC
+    pipeline only needs well-spread trackable points.
+  * The reference's sequential per-track foreground-mask carving
+    (flow.py:160-181: each processed track zeroes its region) becomes a
+    depth-ordered "blocked by any nearer track" test, evaluated in
+    parallel: exact point-in-box tests for keypoints, an 8-px cell raster
+    for visible-area estimation.
+  * cv2.calcOpticalFlowPyrLK -> pyramidal iterative LK over a fixed
+    [N_POINTS] budget with bilinear gather sampling (5x5 window, 6 levels,
+    10 iterations — matching the reference's opt_flow_params,
+    cfg/mot.json:84-88).
+  * cv2.findHomography(RANSAC) / cv2.estimateAffinePartial2D -> fixed-
+    budget parallel hypothesis RANSAC: all hypotheses are generated,
+    solved (batched DLT / closed-form similarity), and scored in one shot;
+    best hypothesis is refined by masked least squares.
+
+Everything here is pure jnp inside a single ``flow_step`` jit; Pallas
+variants of the LK sampler can slot in later without changing callers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_FLOW_TRACKS = 64
+KP_PER_TRACK = 32
+BG_KP = 256
+CELL = 8          # candidate-corner grid pitch (full-res pixels)
+BG_CELL = 4       # candidate grid pitch on the bg-scale image
+HYP_H = 256       # homography RANSAC hypotheses
+HYP_A = 64        # per-track similarity RANSAC hypotheses
+RANSAC_REPROJ = 3.0  # cv2 default ransacReprojThreshold in pixels
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowSpec:
+    """Static flow configuration (hashable; used as a jit static arg)."""
+    size: tuple[int, int]            # frame (W, H)
+    opt_scale: tuple[float, float]   # optical-flow working scale
+    bg_scale: tuple[float, float]    # background-detection scale
+    win: int = 5                     # LK window size
+    max_level: int = 5               # LK pyramid max level (inclusive)
+    iters: int = 10                  # LK iterations per level
+    quality_level: float = 0.06      # corner quality relative to box max
+    max_error: float = 100.0         # max LK patch error (intensity units)
+    feat_density: float = 0.005      # min keypoints per visible-area pixel
+    feat_dist_factor: float = 0.06   # retained for config parity
+    ransac_iters: int = 500          # retained for config parity
+    inlier_thresh: int = 4           # min inliers for valid estimates
+
+    @property
+    def opt_size(self):
+        return (round(self.opt_scale[0] * self.size[0]),
+                round(self.opt_scale[1] * self.size[1]))
+
+    @property
+    def bg_size(self):
+        return (round(self.bg_scale[0] * self.size[0]),
+                round(self.bg_scale[1] * self.size[1]))
+
+
+# ---------------------------------------------------------------------------
+# Image helpers
+# ---------------------------------------------------------------------------
+
+def _resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize matching OpenCV's half-pixel-center convention."""
+    h, w = img.shape
+    oh, ow = out_hw
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def _downsample2(img: jax.Array) -> jax.Array:
+    """2x2 average-pool downsample (pyramid level step)."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    img = img[:h2 * 2, :w2 * 2]
+    return img.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+
+def _shi_tomasi_response(img: jax.Array) -> jax.Array:
+    """Min-eigenvalue corner response with 3x3 gradient/window sums."""
+    ix = jnp.zeros_like(img)
+    iy = jnp.zeros_like(img)
+    ix = ix.at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
+    iy = iy.at[1:-1, :].set((img[2:, :] - img[:-2, :]) * 0.5)
+
+    def box3(x):
+        xp = jnp.pad(x, 1)
+        s = (xp[:-2, :] + xp[1:-1, :] + xp[2:, :])
+        s = (s[:, :-2] + s[:, 1:-1] + s[:, 2:])
+        return s
+
+    sxx = box3(ix * ix)
+    syy = box3(iy * iy)
+    sxy = box3(ix * iy)
+    tr = sxx + syy
+    det_term = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy ** 2, 0.0))
+    return 0.5 * (tr - det_term)
+
+
+def _grid_candidates(resp: jax.Array, cell: int):
+    """Per-cell argmax of the response map -> candidate points + scores.
+
+    Plays the role of GFTT's minDistance: at most one candidate per
+    ``cell`` x ``cell`` pixels guarantees spread-out corners.
+    """
+    h, w = resp.shape
+    gh, gw = h // cell, w // cell
+    r = resp[:gh * cell, :gw * cell].reshape(gh, cell, gw, cell)
+    r = r.transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
+    idx = jnp.argmax(r, axis=-1)
+    score = jnp.max(r, axis=-1)
+    cy = jnp.arange(gh)[:, None] * cell + idx // cell
+    cx = jnp.arange(gw)[None, :] * cell + idx % cell
+    pts = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1).astype(jnp.float32)
+    return pts, score.reshape(-1)
+
+
+def _in_box(pts: jax.Array, tlbr: jax.Array) -> jax.Array:
+    """Inclusive point-in-box test (matches _rect_filter, flow.py:283-294)."""
+    return ((pts[..., 0] >= tlbr[..., 0]) & (pts[..., 0] <= tlbr[..., 2])
+            & (pts[..., 1] >= tlbr[..., 1]) & (pts[..., 1] <= tlbr[..., 3]))
+
+
+# ---------------------------------------------------------------------------
+# Pyramidal Lucas-Kanade
+# ---------------------------------------------------------------------------
+
+def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1)
+    a = flat[y0 * w + x0]
+    b = flat[y0 * w + x1]
+    c = flat[y1 * w + x0]
+    d = flat[y1 * w + x1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
+def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
+    """Track ``pts`` (at optical-flow scale) from prev to cur pyramid.
+
+    Implements the iterative pyramidal LK of cv2.calcOpticalFlowPyrLK
+    (flow.py:203-209): per level, the 2x2 normal matrix G comes from the
+    template (prev) window gradients; ``iters`` Gauss-Newton steps update
+    the displacement; the result seeds the next finer level. Returns
+    (new_pts, status, err) with err = mean |patch difference| as in OpenCV.
+    """
+    half = (spec.win - 1) // 2
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-half, half + 1, dtype=jnp.float32),
+        jnp.arange(-half, half + 1, dtype=jnp.float32),
+        indexing='xy'), axis=-1).reshape(-1, 2)  # [win*win, 2] (x, y)
+
+    n_levels = len(prev_pyr)
+    g = jnp.zeros_like(pts)          # flow guess from coarser levels
+    err = jnp.zeros(pts.shape[0], jnp.float32)
+    ok = valid
+
+    for level in range(n_levels - 1, -1, -1):
+        prev_img = prev_pyr[level]
+        cur_img = cur_pyr[level]
+        scale = 1.0 / (2 ** level)
+        p = pts * scale              # template positions at this level
+        px = p[:, 0:1] + offs[None, :, 0]
+        py = p[:, 1:2] + offs[None, :, 1]
+        t_patch = _bilinear_sample(prev_img, px, py)
+        # template gradients by central difference at sample positions
+        gx = (_bilinear_sample(prev_img, px + 1.0, py)
+              - _bilinear_sample(prev_img, px - 1.0, py)) * 0.5
+        gy = (_bilinear_sample(prev_img, px, py + 1.0)
+              - _bilinear_sample(prev_img, px, py - 1.0)) * 0.5
+        gxx = jnp.sum(gx * gx, axis=1)
+        gyy = jnp.sum(gy * gy, axis=1)
+        gxy = jnp.sum(gx * gy, axis=1)
+        det = gxx * gyy - gxy * gxy
+        inv_ok = det > 1e-6
+        det_safe = jnp.where(inv_ok, det, 1.0)
+
+        def body(_, v):
+            cx = px + v[:, 0:1]
+            cy = py + v[:, 1:2]
+            c_patch = _bilinear_sample(cur_img, cx, cy)
+            diff = t_patch - c_patch
+            bx = jnp.sum(diff * gx, axis=1)
+            by = jnp.sum(diff * gy, axis=1)
+            dx = (gyy * bx - gxy * by) / det_safe
+            dy = (gxx * by - gxy * bx) / det_safe
+            step = jnp.stack([dx, dy], axis=-1)
+            return v + jnp.where(inv_ok[:, None], step, 0.0)
+
+        v = jax.lax.fori_loop(0, spec.iters, body, g)
+
+        # final error at this level (only level 0's value is reported)
+        c_patch = _bilinear_sample(cur_img, px + v[:, 0:1], py + v[:, 1:2])
+        err = jnp.mean(jnp.abs(t_patch - c_patch), axis=1)
+        ok = ok & inv_ok
+
+        if level > 0:
+            g = v * 2.0
+        else:
+            g = v
+
+    new_pts = pts + g
+    h0, w0 = cur_pyr[0].shape
+    inb = ((new_pts[:, 0] >= 0) & (new_pts[:, 0] <= w0 - 1)
+           & (new_pts[:, 1] >= 0) & (new_pts[:, 1] <= h0 - 1))
+    return new_pts, ok & inb, err
+
+
+# ---------------------------------------------------------------------------
+# RANSAC: homography (background / camera motion)
+# ---------------------------------------------------------------------------
+
+def _normalize_pts(pts, valid):
+    """Hartley normalization over valid points; returns (pts_n, T 3x3)."""
+    cnt = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / cnt
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=1))
+    mean_d = jnp.sum(jnp.where(valid, d, 0.0)) / cnt
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-6)
+    t_mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    t_mat = t_mat.at[0, 0].set(s).at[1, 1].set(s)
+    t_mat = t_mat.at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return (pts - mean) * s, t_mat
+
+
+def _dlt_rows(p, q):
+    """Two DLT rows for correspondence p -> q (each [..., 2])."""
+    x, y = p[..., 0], p[..., 1]
+    u, v = q[..., 0], q[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    return r1, r2
+
+
+def _solve_dlt(a_mat):
+    """Null-space solution of A h = 0 via SVD (batched-safe)."""
+    _, _, vt = jnp.linalg.svd(a_mat, full_matrices=True)
+    return vt[..., -1, :]
+
+
+def _apply_h(h_mat, pts):
+    denom = h_mat[..., 2, 0] * pts[..., 0] + h_mat[..., 2, 1] * pts[..., 1] \
+        + h_mat[..., 2, 2]
+    denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    x = (h_mat[..., 0, 0] * pts[..., 0] + h_mat[..., 0, 1] * pts[..., 1]
+         + h_mat[..., 0, 2]) / denom
+    y = (h_mat[..., 1, 0] * pts[..., 0] + h_mat[..., 1, 1] * pts[..., 1]
+         + h_mat[..., 1, 2]) / denom
+    return jnp.stack([x, y], axis=-1)
+
+
+def ransac_homography(prev_pts, cur_pts, valid, key, inlier_thresh: int):
+    """Fixed-budget RANSAC homography (role of cv2.findHomography).
+
+    All HYP_H 4-point hypotheses are solved and scored in parallel; the
+    best is refined twice by masked DLT over its inliers. Returns
+    (ok, H 3x3, inlier_mask).
+    """
+    n = prev_pts.shape[0]
+    cnt = jnp.sum(valid)
+
+    p_n, t1 = _normalize_pts(prev_pts, valid)
+    q_n, t2 = _normalize_pts(cur_pts, valid)
+
+    # compact valid indices to the front for sampling
+    order = jnp.argsort(~valid, stable=True)
+    u = jax.random.uniform(key, (HYP_H, 4))
+    samp = order[(u * jnp.maximum(cnt, 1)).astype(jnp.int32) % n]  # [HYP_H, 4]
+
+    p_s = p_n[samp]                  # [HYP_H, 4, 2]
+    q_s = q_n[samp]
+    r1, r2 = _dlt_rows(p_s, q_s)     # [HYP_H, 4, 9]
+    a_mat = jnp.concatenate([r1, r2], axis=1)  # [HYP_H, 8, 9]
+    h_vec = _solve_dlt(a_mat)
+    h_cand = h_vec.reshape(-1, 3, 3)
+
+    # score hypotheses by inlier count in *unnormalized* space
+    t2_inv = jnp.linalg.inv(t2)
+    h_px = t2_inv[None] @ h_cand @ t1[None]
+    proj = _apply_h(h_px[:, None], prev_pts[None, :, :])  # [HYP_H, n, 2]
+    err2 = jnp.sum((proj - cur_pts[None]) ** 2, axis=-1)
+    inl = (err2 < RANSAC_REPROJ ** 2) & valid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    inlier = inl[best]
+
+    # two refinement passes: masked DLT over current inliers
+    def refine(inlier, _):
+        r1, r2 = _dlt_rows(p_n, q_n)             # [n, 9] each
+        w = inlier[:, None].astype(jnp.float32)
+        a_full = jnp.concatenate([r1 * w, r2 * w], axis=0)  # [2n, 9]
+        h_vec = _solve_dlt(a_full)
+        h_ref = t2_inv @ h_vec.reshape(3, 3) @ t1
+        proj = _apply_h(h_ref[None], prev_pts)
+        err2 = jnp.sum((proj - cur_pts) ** 2, axis=-1)
+        new_inlier = (err2 < RANSAC_REPROJ ** 2) & valid
+        return new_inlier, h_ref
+
+    inlier, h_ref = refine(inlier, None)
+    inlier, h_ref = refine(inlier, None)
+
+    h_norm = h_ref / jnp.where(jnp.abs(h_ref[2, 2]) > 1e-9, h_ref[2, 2], 1e-9)
+    n_inl = jnp.sum(inlier)
+    ok = (cnt >= 4) & (n_inl >= inlier_thresh)
+    return ok, h_norm, inlier
+
+
+# ---------------------------------------------------------------------------
+# RANSAC: per-track partial affine (similarity)
+# ---------------------------------------------------------------------------
+
+def ransac_similarity(prev_pts, cur_pts, valid, key, inlier_thresh: int):
+    """Fixed-budget RANSAC similarity fit for ONE track
+    (role of cv2.estimateAffinePartial2D, flow.py:244-248).
+
+    Model: q = [[a, -b], [b, a]] p + t. Hypotheses from 2-point closed
+    form (complex ratio); best refined by masked least squares. Returns
+    (ok, A 2x3, inlier_mask, n_matched, n_inliers).
+    """
+    n = prev_pts.shape[0]
+    cnt = jnp.sum(valid)
+
+    order = jnp.argsort(~valid, stable=True)
+    u = jax.random.uniform(key, (HYP_A, 2))
+    samp = order[(u * jnp.maximum(cnt, 1)).astype(jnp.int32) % n]
+
+    p1, p2 = prev_pts[samp[:, 0]], prev_pts[samp[:, 1]]
+    q1, q2 = cur_pts[samp[:, 0]], cur_pts[samp[:, 1]]
+    dp = p2 - p1
+    dq = q2 - q1
+    denom = dp[:, 0] ** 2 + dp[:, 1] ** 2
+    denom = jnp.maximum(denom, 1e-9)
+    # (a + ib) = dq / dp in complex arithmetic
+    a = (dq[:, 0] * dp[:, 0] + dq[:, 1] * dp[:, 1]) / denom
+    b = (dq[:, 1] * dp[:, 0] - dq[:, 0] * dp[:, 1]) / denom
+    tx = q1[:, 0] - (a * p1[:, 0] - b * p1[:, 1])
+    ty = q1[:, 1] - (b * p1[:, 0] + a * p1[:, 1])
+
+    px, py = prev_pts[:, 0], prev_pts[:, 1]
+    proj_x = a[:, None] * px[None] - b[:, None] * py[None] + tx[:, None]
+    proj_y = b[:, None] * px[None] + a[:, None] * py[None] + ty[:, None]
+    err2 = (proj_x - cur_pts[None, :, 0]) ** 2 + (proj_y - cur_pts[None, :, 1]) ** 2
+    inl = (err2 < RANSAC_REPROJ ** 2) & valid[None, :]
+    best = jnp.argmax(jnp.sum(inl, axis=1))
+    inlier = inl[best]
+
+    # masked least-squares refinement of [a, b, tx, ty]
+    def refine(inlier):
+        w = inlier.astype(jnp.float32)
+        sw = jnp.maximum(jnp.sum(w), 1.0)
+        sx = jnp.sum(w * px)
+        sy = jnp.sum(w * py)
+        sxx = jnp.sum(w * (px * px + py * py))
+        su = jnp.sum(w * cur_pts[:, 0])
+        sv = jnp.sum(w * cur_pts[:, 1])
+        sxu = jnp.sum(w * (px * cur_pts[:, 0] + py * cur_pts[:, 1]))
+        sxv = jnp.sum(w * (px * cur_pts[:, 1] - py * cur_pts[:, 0]))
+        # normal equations for the 4 parameters
+        m = jnp.array([[0.0] * 4] * 4)
+        m = m.at[0, 0].set(sxx).at[0, 2].set(sx).at[0, 3].set(sy)
+        m = m.at[1, 1].set(sxx).at[1, 2].set(-sy).at[1, 3].set(sx)
+        m = m.at[2, 0].set(sx).at[2, 1].set(-sy).at[2, 2].set(sw)
+        m = m.at[3, 0].set(sy).at[3, 1].set(sx).at[3, 3].set(sw)
+        rhs = jnp.array([sxu, sxv, su, sv])
+        sol = jnp.linalg.solve(m + 1e-6 * jnp.eye(4), rhs)
+        a_r, b_r, tx_r, ty_r = sol[0], sol[1], sol[2], sol[3]
+        proj_x = a_r * px - b_r * py + tx_r
+        proj_y = b_r * px + a_r * py + ty_r
+        err2 = (proj_x - cur_pts[:, 0]) ** 2 + (proj_y - cur_pts[:, 1]) ** 2
+        new_inlier = (err2 < RANSAC_REPROJ ** 2) & valid
+        aff = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        aff = aff.at[0, 0].set(a_r).at[0, 1].set(-b_r).at[0, 2].set(tx_r)
+        aff = aff.at[1, 0].set(b_r).at[1, 1].set(a_r).at[1, 2].set(ty_r)
+        return new_inlier, aff
+
+    inlier, aff = refine(inlier)
+    inlier, aff = refine(inlier)
+
+    n_inl = jnp.sum(inlier)
+    ok = (cnt >= 3) & (n_inl >= inlier_thresh)
+    return ok, aff, inlier, cnt, n_inl
+
+
+# ---------------------------------------------------------------------------
+# Frame preprocessing and the fused flow step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('spec',))
+def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
+    """BGR uint8 frame -> (full gray, pyramid at opt scale, bg gray)."""
+    f = frame_bgr.astype(jnp.float32)
+    # OpenCV BGR2GRAY weights
+    gray = f[..., 2] * 0.299 + f[..., 1] * 0.587 + f[..., 0] * 0.114
+    ow, oh = spec.opt_size
+    base = _resize_bilinear(gray, (oh, ow))
+    pyr = [base]
+    for _ in range(spec.max_level):
+        pyr.append(_downsample2(pyr[-1]))
+    bw, bh = spec.bg_size
+    bg = _resize_bilinear(gray, (bh, bw))
+    return (gray, tuple(pyr), bg)
+
+
+def preprocess(spec: FlowSpec, frame: np.ndarray):
+    return _preprocess_jit(spec, jnp.asarray(frame))
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def _flow_step_jit(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
+                   cur_pyr, t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
+    w_f, h_f = spec.size
+    frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
+    t_idx = jnp.arange(MAX_FLOW_TRACKS)
+
+    # clip track boxes to the frame (intersection, flow.py:163)
+    in_tl = jnp.maximum(t_tlbrs[:, 0:2], frame_tlbr[0:2])
+    in_br = jnp.minimum(t_tlbrs[:, 2:4], frame_tlbr[2:4])
+    inside = jnp.concatenate([in_tl, in_br], axis=1)
+
+    # ---- corner candidates on the previous full-res frame ---------------
+    resp = _shi_tomasi_response(prev_gray)
+    cand_pts, cand_score = _grid_candidates(resp, CELL)   # [C, 2], [C]
+
+    # candidate-in-box matrix and depth-order blocking:
+    # tracks arrive sorted near-to-far; candidate c is blocked for track i
+    # if any nearer (smaller-index) valid track's box contains it —
+    # the parallel form of the reference's fg_mask carving.
+    in_box = _in_box(cand_pts[None, :, :], inside[:, None, :]) \
+        & t_valid[:, None]                                    # [T, C]
+    blocked = jnp.cumsum(in_box.astype(jnp.int32), axis=0) - in_box.astype(jnp.int32)
+    free = in_box & (blocked == 0)
+
+    # visible area per track from the CELL raster (role of mask_area)
+    visible_area = jnp.sum(free, axis=1) * (CELL * CELL)
+
+    # ellipse filter (flow.py:298-306) on candidates
+    center = (t_tlbrs[:, 0:2] + t_tlbrs[:, 2:4]) * 0.5
+    semi = (t_tlbrs[:, 2:4] - t_tlbrs[:, 0:2] + 1.0) * 0.5
+    rel = (cand_pts[None] - center[:, None]) / jnp.maximum(semi[:, None], 1e-6)
+    in_ellipse = jnp.sum(rel ** 2, axis=-1) <= 1.0
+
+    # quality threshold relative to best response in the visible box
+    box_max = jnp.max(jnp.where(free, cand_score[None], -jnp.inf), axis=1)
+    quality_ok = cand_score[None] >= spec.quality_level * \
+        jnp.maximum(box_max[:, None], 1e-6)
+
+    cand_ok = free & in_ellipse & quality_ok
+    cand_masked = jnp.where(cand_ok, cand_score[None], -jnp.inf)
+    top_score, top_i = jax.lax.top_k(cand_masked, KP_PER_TRACK)  # [T, K]
+    new_kps = cand_pts[top_i]
+    new_valid = jnp.isfinite(top_score)
+
+    # ---- propagate existing keypoints (_rect_filter) ---------------------
+    kp_in_box = _in_box(t_kps, inside[:, None, :])
+    # blocked if inside any nearer valid track's box
+    kp_in_other = _in_box(t_kps[:, :, None, :], inside[None, None, :, :]) \
+        & t_valid[None, None, :]                               # [T, K, T]
+    nearer = (t_idx[None, None, :] < t_idx[:, None, None])
+    kp_blocked = jnp.any(kp_in_other & nearer, axis=-1)
+    prop_valid = t_kp_valid & kp_in_box & ~kp_blocked
+    prop_count = jnp.sum(prop_valid, axis=1)
+
+    need_detect = prop_count < spec.feat_density * visible_area
+    use_new = need_detect[:, None]
+    kps = jnp.where(use_new[..., None], new_kps, t_kps)
+    kp_valid = jnp.where(use_new, new_valid, prop_valid) & t_valid[:, None]
+
+    # ---- background candidates on the bg-scale image ---------------------
+    bg_resp = _shi_tomasi_response(prev_bg)
+    bg_pts_s, bg_score = _grid_candidates(bg_resp, BG_CELL)
+    bg_scale = jnp.array([spec.bg_scale[0], spec.bg_scale[1]])
+    bg_pts_full = bg_pts_s / bg_scale                          # full-res coords
+    bg_in_track = jnp.any(_in_box(bg_pts_full[None], inside[:, None, :])
+                          & t_valid[:, None], axis=0)
+    bg_ok = ~bg_in_track & (bg_score >
+                            0.01 * jnp.maximum(jnp.max(bg_score), 1e-6))
+    bg_masked = jnp.where(bg_ok, bg_score, -jnp.inf)
+    n_bg = min(BG_KP, bg_masked.shape[0])
+    bg_top_score, bg_top_i = jax.lax.top_k(bg_masked, n_bg)
+    bg_kp = bg_pts_full[bg_top_i]
+    bg_valid = jnp.isfinite(bg_top_score)
+
+    # ---- one batched LK solve for all points -----------------------------
+    opt_scale = jnp.array([spec.opt_scale[0], spec.opt_scale[1]])
+    all_prev = jnp.concatenate([kps.reshape(-1, 2), bg_kp], axis=0)
+    all_valid = jnp.concatenate([kp_valid.reshape(-1), bg_valid], axis=0)
+    cur_scaled, status, err = lk_pyramidal(
+        prev_pyr, cur_pyr, all_prev * opt_scale, all_valid, spec)
+    all_cur = cur_scaled / opt_scale
+    status = status & all_valid & (err < spec.max_error)
+
+    n_track_pts = MAX_FLOW_TRACKS * KP_PER_TRACK
+    trk_prev = all_prev[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
+    trk_cur = all_cur[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
+    trk_status = status[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK)
+    bg_prev = all_prev[n_track_pts:]
+    bg_cur = all_cur[n_track_pts:]
+    bg_status = status[n_track_pts:]
+
+    # ---- camera motion ----------------------------------------------------
+    key = jax.random.PRNGKey(seed)
+    h_ok, h_mat, bg_inlier = ransac_homography(
+        bg_prev, bg_cur, bg_status, jax.random.fold_in(key, 0),
+        spec.inlier_thresh)
+
+    # ---- per-track similarity fit (vmapped) ------------------------------
+    # foreground filter on matched points: in-frame and not captured by a
+    # nearer track's box (parallel stand-in for the second fg_mask pass,
+    # flow.py:240, 262-263)
+    cur_in_frame = _in_box(trk_cur, frame_tlbr[None, None, :])
+    cur_in_other = _in_box(trk_cur[:, :, None, :], inside[None, None, :, :]) \
+        & t_valid[None, None, :]
+    cur_blocked = jnp.any(cur_in_other & nearer, axis=-1)
+    match_valid = trk_status & cur_in_frame & ~cur_blocked
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), MAX_FLOW_TRACKS)
+    sim_ok, aff, sim_inlier, n_matched, n_inl = jax.vmap(
+        lambda p, c, v, k: ransac_similarity(p, c, v, k, spec.inlier_thresh)
+    )(trk_prev, trk_cur, match_valid, keys)
+
+    # ---- bbox estimate (flow.py:272-279) ---------------------------------
+    a_col = aff[:, :, 0]
+    scale = jnp.sqrt(jnp.sum(a_col * a_col, axis=1))
+    scale = jnp.where((scale < 0.9) | (scale > 1.1), 1.0, scale)
+    tl = t_tlbrs[:, 0:2]
+    tl_new = jnp.einsum('tij,tj->ti', aff[:, :, 0:2], tl) + aff[:, :, 2]
+    wh = (t_tlbrs[:, 2:4] - t_tlbrs[:, 0:2] + 1.0) * scale[:, None]
+    est = jnp.concatenate([tl_new, tl_new + wh - 1.0], axis=1)
+    est = jnp.round(est)
+
+    est_in_frame = (jnp.minimum(est[:, 2], frame_tlbr[2]) >=
+                    jnp.maximum(est[:, 0], frame_tlbr[0])) & \
+                   (jnp.minimum(est[:, 3], frame_tlbr[3]) >=
+                    jnp.maximum(est[:, 1], frame_tlbr[1]))
+    est_valid = t_valid & sim_ok & est_in_frame & (n_inl >= spec.inlier_thresh)
+    inlier_ratio = n_inl / jnp.maximum(n_matched, 1)
+
+    out_kp_valid = sim_inlier & match_valid
+    return (h_ok, h_mat, bg_prev, bg_cur, bg_inlier & bg_status,
+            est, est_valid, inlier_ratio.astype(jnp.float32),
+            trk_prev, trk_cur, out_kp_valid)
+
+
+def flow_step(spec: FlowSpec, prev_pyr, cur_pyr, t_tlbrs, t_valid,
+              t_kps, t_kp_valid, seed: int):
+    """Host entry: unpack the (gray, pyramid, bg) tuples and run the jit."""
+    prev_gray, prev_p, prev_bg = prev_pyr
+    _, cur_p, _ = cur_pyr
+    return _flow_step_jit(spec, prev_gray, prev_p, prev_bg, cur_p,
+                          jnp.asarray(t_tlbrs), jnp.asarray(t_valid),
+                          jnp.asarray(t_kps), jnp.asarray(t_kp_valid),
+                          jnp.uint32(seed))

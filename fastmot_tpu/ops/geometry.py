@@ -1,0 +1,206 @@
+"""Axis-aligned bounding-box geometry as pure jnp kernels.
+
+Behavioral reference: fastmot/utils/rect.py (Numba scalar kernels). This
+module replaces the per-box scalar functions with batched, shape-stable
+array ops so that whole-frame geometry (pairwise IoU matrices, occlusion
+masks, NMS) runs as a single fused XLA computation on TPU.
+
+Conventions (kept bit-compatible with the reference):
+  * Boxes are ``tlbr = [x1, y1, x2, y2]`` with the *inclusive* corner
+    convention: ``width = x2 - x1 + 1`` (rect.py:16-18).
+  * ``as_tlbr``/``to_tlbr`` round half-to-even, matching Python's
+    ``round(x, 0)`` used by the reference (rect.py:5-13, 48-57).
+  * Degenerate boxes have area 0 (rect.py:27-32).
+
+All functions broadcast over leading batch dimensions unless stated
+otherwise. Dtype: float32 on TPU (reference uses float64 on CPU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def as_tlbr(tlbr: jax.Array) -> jax.Array:
+    """Round a box (or batch of boxes) to integral corners, half-to-even."""
+    return jnp.round(tlbr)
+
+
+def get_size(tlbr: jax.Array) -> jax.Array:
+    """Return ``[..., 2]`` (w, h) with the +1 inclusive convention."""
+    return tlbr[..., 2:4] - tlbr[..., 0:2] + 1.0
+
+
+def get_width_height(tlbr: jax.Array) -> tuple[jax.Array, jax.Array]:
+    size = get_size(tlbr)
+    return size[..., 0], size[..., 1]
+
+
+def aspect_ratio(tlbr: jax.Array) -> jax.Array:
+    """h / w, or 0 where w <= 0 (rect.py:21-24)."""
+    w, h = get_width_height(tlbr)
+    return jnp.where(w > 0, h / jnp.where(w > 0, w, 1.0), 0.0)
+
+
+def area(tlbr: jax.Array) -> jax.Array:
+    """Box area; 0 for degenerate boxes (rect.py:27-32)."""
+    w, h = get_width_height(tlbr)
+    return jnp.where((w > 0) & (h > 0), w * h, 0.0)
+
+
+def get_center(tlbr: jax.Array) -> jax.Array:
+    """Return ``[..., 2]`` box centers."""
+    return (tlbr[..., 0:2] + tlbr[..., 2:4]) * 0.5
+
+
+def to_tlwh(tlbr: jax.Array) -> jax.Array:
+    return jnp.concatenate([tlbr[..., 0:2], get_size(tlbr)], axis=-1)
+
+
+def to_tlbr(tlwh: jax.Array) -> jax.Array:
+    tl = tlwh[..., 0:2]
+    br = tl + tlwh[..., 2:4] - 1.0
+    return jnp.round(jnp.concatenate([tl, br], axis=-1))
+
+
+def intersection(tlbr1: jax.Array, tlbr2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Elementwise box intersection.
+
+    Returns ``(box, valid)`` where ``valid`` is False when the boxes are
+    disjoint (the reference returns None, rect.py:60-69).
+    """
+    tl = jnp.maximum(tlbr1[..., 0:2], tlbr2[..., 0:2])
+    br = jnp.minimum(tlbr1[..., 2:4], tlbr2[..., 2:4])
+    box = jnp.concatenate([tl, br], axis=-1)
+    valid = jnp.all(br >= tl, axis=-1)
+    return box, valid
+
+
+def enclosing(tlbr1: jax.Array, tlbr2: jax.Array) -> jax.Array:
+    tl = jnp.minimum(tlbr1[..., 0:2], tlbr2[..., 0:2])
+    br = jnp.maximum(tlbr1[..., 2:4], tlbr2[..., 2:4])
+    return jnp.concatenate([tl, br], axis=-1)
+
+
+def _pairwise_inter_area(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """[N, M] intersection areas with the +1 convention (0 when disjoint)."""
+    tl = jnp.maximum(tlbrs1[:, None, 0:2], tlbrs2[None, :, 0:2])
+    br = jnp.minimum(tlbrs1[:, None, 2:4], tlbrs2[None, :, 2:4])
+    wh = br - tl + 1.0
+    return jnp.where(jnp.all(wh > 0, axis=-1), wh[..., 0] * wh[..., 1], 0.0)
+
+
+def ios(tlbr1: jax.Array, tlbr2: jax.Array) -> jax.Array:
+    """Elementwise intersection-over-self (rect.py:100-109)."""
+    tl = jnp.maximum(tlbr1[..., 0:2], tlbr2[..., 0:2])
+    br = jnp.minimum(tlbr1[..., 2:4], tlbr2[..., 2:4])
+    wh = br - tl + 1.0
+    inter = jnp.where(jnp.all(wh > 0, axis=-1), wh[..., 0] * wh[..., 1], 0.0)
+    a_self = area(tlbr1)
+    return jnp.where(a_self > 0, inter / jnp.where(a_self > 0, a_self, 1.0), 0.0)
+
+
+def iom(tlbr1: jax.Array, tlbr2: jax.Array) -> jax.Array:
+    """Elementwise intersection-over-minimum (rect.py:112-121)."""
+    tl = jnp.maximum(tlbr1[..., 0:2], tlbr2[..., 0:2])
+    br = jnp.minimum(tlbr1[..., 2:4], tlbr2[..., 2:4])
+    wh = br - tl + 1.0
+    inter = jnp.where(jnp.all(wh > 0, axis=-1), wh[..., 0] * wh[..., 1], 0.0)
+    a_min = jnp.minimum(area(tlbr1), area(tlbr2))
+    return jnp.where(a_min > 0, inter / jnp.where(a_min > 0, a_min, 1.0), 0.0)
+
+
+def bbox_ious(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """Pairwise [N, M] IoU matrix (rect.py:124-139)."""
+    inter = _pairwise_inter_area(tlbrs1, tlbrs2)
+    union = area(tlbrs1)[:, None] + area(tlbrs2)[None, :] - inter
+    return jnp.where(inter > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+def ios_matrix(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
+    """Pairwise [N, M] intersection-over-row-box-area matrix."""
+    inter = _pairwise_inter_area(tlbrs1, tlbrs2)
+    a_self = area(tlbrs1)[:, None]
+    return jnp.where(a_self > 0, inter / jnp.where(a_self > 0, a_self, 1.0), 0.0)
+
+
+@jax.jit
+def find_occluded(tlbrs: jax.Array, occlusion_thresh: float,
+                  valid: jax.Array | None = None) -> jax.Array:
+    """Mask of boxes covered by any *other* box at IoS >= thresh.
+
+    Behavioral reference: rect.py:142-157. ``valid`` masks out padded rows
+    (they neither occlude nor count as occluded).
+    """
+    n = tlbrs.shape[0]
+    ios_mat = ios_matrix(tlbrs, tlbrs)
+    eye = jnp.eye(n, dtype=bool)
+    covered = (ios_mat >= occlusion_thresh) & ~eye
+    if valid is not None:
+        covered = covered & valid[None, :]
+        return jnp.any(covered, axis=1) & valid
+    return jnp.any(covered, axis=1)
+
+
+def _diou_matrix(tlbrs: jax.Array, beta: float) -> jax.Array:
+    """Pairwise DIoU used by diou_nms (rect.py:199-239)."""
+    iou = bbox_ious(tlbrs, tlbrs)
+    centers = get_center(tlbrs)
+    d = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    encl = enclosing(tlbrs[:, None, :], tlbrs[None, :, :])
+    ew, eh = get_width_height(encl)
+    c = ew * ew + eh * eh
+    return iou - (d / jnp.maximum(c, 1e-12)) ** beta
+
+
+@jax.jit
+def nms_mask(tlbrs: jax.Array, scores: jax.Array, valid: jax.Array,
+             nms_thresh: float) -> jax.Array:
+    """Greedy NMS on padded boxes; returns a keep mask.
+
+    Behavioral reference: rect.py:160-195 (which takes tlwhs and returns
+    kept indices; here the fixed-capacity masked formulation returns a
+    boolean keep mask over the padded array). Score ties break on lower
+    index, matching ``argsort`` descending stability.
+    """
+    overlap = bbox_ious(tlbrs, tlbrs)
+    return _greedy_suppress(overlap, scores, valid, nms_thresh)
+
+
+@jax.jit
+def diou_nms_mask(tlbrs: jax.Array, scores: jax.Array, valid: jax.Array,
+                  nms_thresh: float, beta: float = 0.6) -> jax.Array:
+    """Greedy DIoU-NMS (rect.py:198-244) on padded boxes; returns keep mask."""
+    overlap = _diou_matrix(tlbrs, beta)
+    return _greedy_suppress(overlap, scores, valid, nms_thresh)
+
+
+def _greedy_suppress(overlap: jax.Array, scores: jax.Array, valid: jax.Array,
+                     thresh: float) -> jax.Array:
+    """Iteratively keep the highest-scoring remaining box and suppress
+    others whose ``overlap`` with it exceeds ``thresh``.
+
+    The data-dependent while-loop of the reference becomes a
+    ``lax.while_loop`` over a remaining-mask — shape-stable, at most N
+    iterations, each a fully vectorized VPU step.
+    """
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def cond(state):
+        _, remaining = state
+        return jnp.any(remaining)
+
+    def body(state):
+        keep, remaining = state
+        masked_scores = jnp.where(remaining, scores, neg_inf)
+        i = jnp.argmax(masked_scores)
+        keep = keep | (idx == i)
+        suppress = overlap[i] > thresh
+        remaining = remaining & ~suppress & (idx != i)
+        return keep, remaining
+
+    keep0 = jnp.zeros(n, dtype=bool)
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, valid))
+    return keep

@@ -1,0 +1,209 @@
+"""Track state objects and feature aggregators.
+
+Behavioral reference: fastmot/track.py. These are host-side bookkeeping
+objects (ID allocation, bounded history deques, lifecycle flags); all
+numerical per-frame work on track state happens in the batched device
+kernels (kalman.py, tracker.py) over fixed-capacity arrays.
+"""
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from .models import get_label_name
+
+
+class ClusterFeature:
+    """Sequential k-means over embeddings (track.py:11-66). Not used by the
+    default association path but kept for capability parity."""
+
+    def __init__(self, num_clusters, metric):
+        self.num_clusters = num_clusters
+        self.metric = metric
+        self.clusters = None
+        self.cluster_sizes = None
+        self._next_idx = 0
+
+    def __len__(self):
+        return self._next_idx
+
+    def __call__(self):
+        return self.clusters[:self._next_idx]
+
+    def update(self, embedding):
+        if self._next_idx < self.num_clusters:
+            if self.clusters is None:
+                self.clusters = np.empty((self.num_clusters, len(embedding)),
+                                         embedding.dtype)
+                self.cluster_sizes = np.zeros(self.num_clusters, int)
+            self.clusters[self._next_idx] = embedding
+            self.cluster_sizes[self._next_idx] += 1
+            self._next_idx += 1
+        else:
+            norm = self.clusters / np.linalg.norm(self.clusters, axis=1,
+                                                  keepdims=True)
+            sims = norm @ (embedding / np.linalg.norm(embedding))
+            idx = int(np.argmax(sims))
+            self.cluster_sizes[idx] += 1
+            self.clusters[idx] += ((embedding - self.clusters[idx])
+                                   / self.cluster_sizes[idx])
+
+
+class SmoothFeature:
+    """EMA feature (track.py:69-88). Kept for capability parity."""
+
+    def __init__(self, learning_rate=0.9):
+        self.lr = learning_rate
+        self.smooth = None
+
+    def __call__(self):
+        return self.smooth
+
+    def update(self, embedding):
+        if self.smooth is None:
+            self.smooth = embedding.copy()
+        else:
+            self.smooth = (1.0 - self.lr) * self.smooth + self.lr * embedding
+            self.smooth /= np.linalg.norm(self.smooth)
+
+
+class AverageFeature:
+    """Running L2-normalized mean embedding — the aggregator used for
+    association and reID (track.py:91-126)."""
+
+    def __init__(self):
+        self.sum = None
+        self.avg = None
+        self.count = 0
+
+    def __call__(self):
+        return self.avg
+
+    def is_valid(self):
+        return self.count > 0
+
+    def update(self, embedding):
+        self.count += 1
+        if self.sum is None:
+            self.sum = np.array(embedding, dtype=np.float32, copy=True)
+            self.avg = self.sum.copy()
+        else:
+            self.sum += embedding
+            avg = self.sum / self.count
+            self.avg = avg / np.linalg.norm(avg)
+
+    def merge(self, other):
+        self.count += other.count
+        if self.sum is None:
+            self.sum = other.sum
+            self.avg = other.avg
+        elif other.sum is not None:
+            self.sum += other.sum
+            avg = self.sum / self.count
+            self.avg = avg / np.linalg.norm(avg)
+
+
+class Track:
+    """A single tracklet (track.py:129-225). Same public surface:
+    ``trk_id, start_frame, frame_ids, bboxes, state, label, age, hits,
+    avg_feat, inlier_ratio, keypoints`` and the lifecycle methods."""
+
+    _count = 0
+
+    def __init__(self, frame_id, tlbr, state, label, confirm_hits=1,
+                 buffer_size=30):
+        self.trk_id = self.next_id()
+        self.start_frame = frame_id
+        self.frame_ids = deque([frame_id], maxlen=buffer_size)
+        self.bboxes = deque([np.asarray(tlbr, dtype=np.float64)],
+                            maxlen=buffer_size)
+        self.confirm_hits = confirm_hits
+        self.state = state  # (mean [8], cov [8, 8]) numpy arrays
+        self.label = int(label)
+
+        self.age = 0
+        self.hits = 0
+        self.avg_feat = AverageFeature()
+        self.last_feat = None
+
+        self.inlier_ratio = 1.0
+        self.keypoints = np.empty((0, 2), np.float32)
+        self.prev_keypoints = np.empty((0, 2), np.float32)
+
+    def __str__(self):
+        x = (self.tlbr[0] + self.tlbr[2]) / 2
+        y = (self.tlbr[1] + self.tlbr[3]) / 2
+        return (f'{get_label_name(self.label):<10} {self.trk_id:>3}'
+                f' at ({int(x):>4}, {int(y):>4})')
+
+    __repr__ = __str__
+
+    def __len__(self):
+        return self.end_frame - self.start_frame
+
+    def __lt__(self, other):
+        # ordered by approximate distance to the image plane (bottom edge y),
+        # closer is greater (track.py:160-162)
+        return (self.tlbr[-1], -self.age) < (other.tlbr[-1], -other.age)
+
+    @property
+    def tlbr(self):
+        return self.bboxes[-1]
+
+    @property
+    def end_frame(self):
+        return self.frame_ids[-1]
+
+    @property
+    def active(self):
+        return self.age < 2
+
+    @property
+    def confirmed(self):
+        return self.hits >= self.confirm_hits
+
+    def update(self, tlbr, state):
+        self.bboxes.append(np.asarray(tlbr, dtype=np.float64))
+        self.state = state
+
+    def add_detection(self, frame_id, tlbr, state, embedding, is_valid=True):
+        self.frame_ids.append(frame_id)
+        self.bboxes.append(np.asarray(tlbr, dtype=np.float64))
+        self.state = state
+        if is_valid:
+            self.last_feat = embedding
+            self.avg_feat.update(embedding)
+        self.age = 0
+        self.hits += 1
+
+    def reinstate(self, frame_id, tlbr, state, embedding):
+        self.start_frame = frame_id
+        self.frame_ids.append(frame_id)
+        self.bboxes.append(np.asarray(tlbr, dtype=np.float64))
+        self.state = state
+        self.last_feat = embedding
+        self.avg_feat.update(embedding)
+        self.age = 0
+        self.keypoints = np.empty((0, 2), np.float32)
+        self.prev_keypoints = np.empty((0, 2), np.float32)
+
+    def mark_missed(self):
+        self.age += 1
+
+    def merge_continuation(self, other):
+        self.frame_ids.extend(other.frame_ids)
+        self.bboxes.extend(other.bboxes)
+        self.state = other.state
+        self.age = other.age
+        self.hits += other.hits
+        self.keypoints = other.keypoints
+        self.prev_keypoints = other.prev_keypoints
+        if other.last_feat is not None:
+            self.last_feat = other.last_feat
+        self.avg_feat.merge(other.avg_feat)
+
+    @staticmethod
+    def next_id():
+        Track._count += 1
+        return Track._count

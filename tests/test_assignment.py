@@ -1,0 +1,127 @@
+"""ops.assignment vs scipy's Hungarian and a numpy greedy oracle."""
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from fastmot_tpu.ops import assignment as A
+
+
+def total_matched_cost(cost, col4row):
+    t = 0.0
+    for i, j in enumerate(col4row):
+        if j >= 0:
+            t += cost[i, j]
+    return t
+
+
+@pytest.mark.parametrize("shape", [(5, 5), (8, 3), (3, 8), (1, 1), (20, 20),
+                                   (16, 24)])
+def test_auction_matches_scipy_cost(rng, shape):
+    for trial in range(5):
+        cost = rng.uniform(0, 1, shape).astype(np.float32)
+        # sprinkle forbidden entries
+        forbid = rng.uniform(size=shape) < 0.2
+        cost[forbid] = A.INF_COST
+        row4col, col4row = A.auction_lap(cost)
+        row4col, col4row = np.asarray(row4col), np.asarray(col4row)
+
+        ri, ci = linear_sum_assignment(np.minimum(cost, 1e3))
+        ref_pairs = [(i, j) for i, j in zip(ri, ci) if cost[i, j] < A.INF_COST]
+        ref_total = sum(cost[i, j] for i, j in ref_pairs)
+
+        got_pairs = [(i, j) for i, j in enumerate(col4row) if j >= 0]
+        got_total = total_matched_cost(cost, col4row)
+        # same matching cardinality, near-identical total cost
+        assert len(got_pairs) == len(ref_pairs), (trial, got_pairs, ref_pairs)
+        assert got_total <= ref_total + max(shape) * 2e-3 + 1e-4
+        # consistency between the two output views
+        for i, j in got_pairs:
+            assert row4col[j] == i
+        for j, i in enumerate(row4col):
+            if i >= 0:
+                assert col4row[i] == j
+
+
+def test_auction_all_forbidden():
+    cost = np.full((4, 4), A.INF_COST, dtype=np.float32)
+    row4col, col4row = A.auction_lap(cost)
+    assert (np.asarray(row4col) == -1).all()
+    assert (np.asarray(col4row) == -1).all()
+
+
+def test_auction_with_validity_masks(rng):
+    cost = rng.uniform(0, 1, (6, 6)).astype(np.float32)
+    row_valid = np.array([1, 1, 1, 0, 0, 0], bool)
+    col_valid = np.array([1, 1, 1, 1, 0, 0], bool)
+    row4col, col4row = A.auction_lap(cost, row_valid, col_valid)
+    col4row = np.asarray(col4row)
+    assert (col4row[3:] == -1).all()
+    ri, ci = linear_sum_assignment(cost[:3, :4])
+    assert total_matched_cost(cost, col4row) <= cost[ri, ci].sum() + 0.05
+
+
+def np_greedy(cost, max_cost):
+    """Oracle for matching.py:73-97."""
+    cost = cost.copy()
+    r, c = cost.shape
+    rows_left = list(range(r))
+    cols_left = list(range(c))
+    matches = []
+    while rows_left and cols_left:
+        sub = cost[np.ix_(rows_left, cols_left)]
+        flat = np.argmin(sub)
+        i, j = flat // len(cols_left), flat % len(cols_left)
+        if sub[i, j] <= max_cost:
+            matches.append((rows_left[i], cols_left[j]))
+            rows_left.pop(i)
+            cols_left.pop(j)
+        else:
+            break
+    return matches
+
+
+def test_greedy_match(rng):
+    for _ in range(10):
+        cost = rng.uniform(0, 1, (7, 5)).astype(np.float32)
+        row_valid = np.ones(7, bool)
+        col_valid = np.ones(5, bool)
+        row4col, col4row = A.greedy_match_arrays(cost, row_valid, col_valid, 0.5)
+        got = sorted((i, int(j)) for i, j in enumerate(np.asarray(col4row)) if j >= 0)
+        want = sorted(np_greedy(cost, 0.5))
+        assert got == want
+
+
+def test_greedy_match_masked(rng):
+    cost = rng.uniform(0, 0.4, (4, 4)).astype(np.float32)
+    row_valid = np.array([1, 1, 0, 0], bool)
+    col_valid = np.array([1, 0, 1, 1], bool)
+    row4col, col4row = A.greedy_match_arrays(cost, row_valid, col_valid, 0.5)
+    col4row = np.asarray(col4row)
+    assert (col4row[2:] == -1).all()
+    assert np.asarray(row4col)[1] == -1
+    want = np_greedy(np.where(np.outer(row_valid, col_valid), cost, 1e9), 0.5)
+    got = sorted((i, int(j)) for i, j in enumerate(col4row) if j >= 0)
+    assert got == sorted(want)
+
+
+def test_fuse_motion():
+    cost = np.array([[0.2, 0.4], [0.6, 0.8]], dtype=np.float32)
+    m = np.array([[1.0, 20.0], [4.0, 9.0]], dtype=np.float32)
+    got = np.asarray(A.fuse_motion(cost, m, 0.2))
+    want = 0.8 * cost + 0.2 * m / A.CHI_SQ_INV_95
+    want[0, 1] = A.INF_COST  # gated: 20 > 9.4877
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gate_cost():
+    cost = np.array([[0.1, 0.9], [0.3, 0.2]], dtype=np.float32)
+    rl = np.array([1, 2])
+    cl = np.array([1, 1])
+    got = np.asarray(A.gate_cost(cost, rl, cl, max_cost=0.5))
+    assert got[0, 0] == pytest.approx(0.1)
+    assert got[0, 1] == A.INF_COST  # cost gate
+    assert got[1, 0] == A.INF_COST  # label gate
+    assert got[1, 1] == A.INF_COST
+    # without max_cost: only label gating
+    got2 = np.asarray(A.gate_cost(cost, rl, cl))
+    assert got2[0, 1] == pytest.approx(0.9)

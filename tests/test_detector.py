@@ -1,0 +1,112 @@
+"""Detector tests: head decode math vs oracle, PublicDetector replay, and
+smoke tests of the fused YOLO/SSD graphs (slow, small models)."""
+import numpy as np
+import pytest
+
+
+def test_decode_heads_standard(rng):
+    """Standard decode vs yolo_layer.cu:127-173 formulas."""
+    import jax.numpy as jnp
+    from fastmot_tpu.models.yolo import decode_heads
+
+    gh, gw, a, c = 4, 5, 3, 2
+    anchors = [[11, 22, 24, 60, 37, 116]]
+    scale = 1.2
+    head = rng.normal(size=(1, gh, gw, a * (5 + c))).astype(np.float32)
+    out = np.asarray(decode_heads([jnp.asarray(head)], anchors, [scale],
+                                  (512, 512), False))[0]
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    x = head[0].reshape(gh, gw, a, 5 + c)
+    k = 0
+    for r in range(gh):
+        for col in range(gw):
+            for ai in range(a):
+                t = x[r, col, ai]
+                bx = (col + scale * sig(t[0]) - (scale - 1) / 2) / gw
+                by = (r + scale * sig(t[1]) - (scale - 1) / 2) / gh
+                bw = np.exp(t[2]) * anchors[0][2 * ai] / 512
+                bh = np.exp(t[3]) * anchors[0][2 * ai + 1] / 512
+                row_out = out[(r * gw + col) * a + ai]
+                np.testing.assert_allclose(
+                    row_out[:4], [bx - bw / 2, by - bh / 2, bw, bh],
+                    rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(row_out[4], sig(t[4]), rtol=1e-5)
+                assert row_out[5] == np.argmax(t[5:])
+                np.testing.assert_allclose(row_out[6], sig(t[5:].max()),
+                                           rtol=1e-5)
+                k += 1
+
+
+def test_decode_heads_new_coords(rng):
+    """new_coords decode vs yolo_layer.cu:185-230 formulas."""
+    import jax.numpy as jnp
+    from fastmot_tpu.models.yolo import decode_heads
+
+    gh = gw = 3
+    a, c = 3, 1
+    anchors = [[12, 16, 19, 36, 40, 28]]
+    scale = 2.0
+    head = rng.uniform(0, 1, (1, gh, gw, a * (5 + c))).astype(np.float32)
+    out = np.asarray(decode_heads([jnp.asarray(head)], anchors, [scale],
+                                  (640, 640), True))[0]
+    x = head[0].reshape(gh, gw, a, 5 + c)
+    row_out = out[(1 * gw + 2) * a + 1]   # r=1, col=2, anchor=1
+    t = x[1, 2, 1]
+    bw = t[2] ** 2 * 4 * anchors[0][2] / 640
+    bx = (2 + scale * t[0] - 0.5) / gw - bw / 2
+    np.testing.assert_allclose(row_out[0], bx, rtol=1e-4)
+    np.testing.assert_allclose(row_out[2], bw, rtol=1e-4)
+    np.testing.assert_allclose(row_out[4], t[4], rtol=1e-5)
+
+
+def test_public_detector_replay(tmp_path):
+    from fastmot_tpu.detector import PublicDetector
+
+    seq = tmp_path / 'SEQ'
+    (seq / 'det').mkdir(parents=True)
+    (seq / 'seqinfo.ini').write_text(
+        '[Sequence]\nimWidth=640\nimHeight=480\n')
+    rows = ['1,-1,100,120,50,100,1,-1,-1,-1',
+            '1,-1,300,200,60,120,1,-1,-1,-1',
+            '3,-1,110,130,50,100,1,-1,-1,-1']
+    (seq / 'det' / 'det.txt').write_text('\n'.join(rows) + '\n')
+
+    det = PublicDetector((320, 240), (1,), frame_skip=2,
+                         sequence_path=str(seq))
+    d0 = det(None)
+    assert len(d0) == 2
+    # boxes scaled by 0.5 into processing coords
+    np.testing.assert_allclose(d0.tlbr[0], [50, 60, 74, 109], atol=1.0)
+    d2 = det(None)  # frame 2 (skip=2)
+    assert len(d2) == 1
+    np.testing.assert_allclose(d2.tlbr[0], [55, 65, 79, 114], atol=1.0)
+
+
+@pytest.mark.slow
+def test_yolo_detector_smoke(rng):
+    """Fused YOLO graph compiles and returns a well-formed empty-or-valid
+    detection set (random weights -> typically no detections)."""
+    from fastmot_tpu.detector import YOLODetector
+
+    det = YOLODetector((640, 480), (0,), model='YOLOv4Tiny',
+                       conf_thresh=0.25, min_aspect_ratio=0.0)
+    frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    out = det(frame)
+    assert out.dtype.names == ('tlbr', 'label', 'conf')
+    if len(out):
+        assert (out.conf >= 0.25).all()
+        assert np.all(np.diff(out.label) >= 0)  # class-sorted
+
+
+@pytest.mark.slow
+def test_ssd_detector_smoke(rng):
+    from fastmot_tpu.detector import SSDDetector
+
+    det = SSDDetector((640, 480), (1,), model='SSDMobileNetV1',
+                      tiling_grid=(2, 1), conf_thresh=0.5)
+    frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    out = det(frame)
+    assert out.dtype.names == ('tlbr', 'label', 'conf')
