@@ -53,7 +53,10 @@ def main():
         .astype(np.float32), 1.5)
 
     def frame_at(i):
-        dx, dy = (i * 2) % pad, i % pad
+        # smooth sinusoidal camera drift (no discontinuities, so camera
+        # motion estimation has a realistic job every frame)
+        dx = int(pad / 2 + pad / 2 * np.sin(i * 0.23))
+        dy = int(pad / 2 + pad / 2 * np.cos(i * 0.31))
         return np.ascontiguousarray(
             np.clip(base[pad + dy:pad + dy + SIZE[1],
                          pad + dx:pad + dx + SIZE[0]], 0, 255)

@@ -107,6 +107,27 @@ class Flow:
         self.prev_bg_keypoints = np.empty((0, 2), np.float32)
         self._frame_count = 0
 
+    @property
+    def spec(self):
+        return self._spec
+
+    @property
+    def device_state(self):
+        """(gray, pyramid, bg) device tuple of the previous frame — used by
+        the tracker's fused track-frame kernel."""
+        return self._prev_pyr
+
+    def advance(self, cur_state, failed: bool = False):
+        """Adopt the current frame's preprocessed state (called by the
+        fused path after it ran the flow in-kernel)."""
+        self._prev_pyr = cur_state
+        self._frame_count += 1
+        if failed:
+            self.bg_keypoints = np.empty((0, 2), np.float32)
+
+    def next_seed(self) -> int:
+        return self._frame_count
+
     def predict(self, frame, tracks):
         """Predict tracklet positions and camera motion (flow.py:135-264).
 

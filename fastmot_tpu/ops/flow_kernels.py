@@ -449,8 +449,7 @@ def preprocess(spec: FlowSpec, frame: np.ndarray):
     return _preprocess_jit(spec, jnp.asarray(frame))
 
 
-@partial(jax.jit, static_argnames=('spec',))
-def _flow_step_jit(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
+def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
                    cur_pyr, t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
     w_f, h_f = spec.size
     frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
@@ -583,6 +582,9 @@ def _flow_step_jit(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
     return (h_ok, h_mat, bg_prev, bg_cur, bg_inlier & bg_status,
             est, est_valid, inlier_ratio.astype(jnp.float32),
             trk_prev, trk_cur, out_kp_valid)
+
+
+_flow_step_jit = partial(jax.jit, static_argnames=('spec',))(flow_step_core)
 
 
 def flow_step(spec: FlowSpec, prev_pyr, cur_pyr, t_tlbrs, t_valid,

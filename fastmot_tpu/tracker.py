@@ -85,6 +85,56 @@ def _apply_kalman_kernel(cfg: KalmanConfig, means, covs, h_mat, trans, acc_cov,
     return means, covs, next_tlbrs, ios_vals
 
 
+@partial(jax.jit, static_argnames=('cfg', 'spec', 'age_penalty'),
+         donate_argnums=())
+def _fused_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
+                        prev_gray, prev_pyr, prev_bg, cur_frame,
+                        f_tlbrs, f_valid, f_kps, f_kp_valid, seed,
+                        means, covs, flow_slot, ages, stored_inl,
+                        trans, acc_cov, frame_tlbr):
+    """The whole tracking-only frame in ONE dispatch (mot.py:162-164 path,
+    which runs N-1 of every N frames): frame preprocess -> corner
+    management -> pyramidal LK -> camera-motion RANSAC -> per-track
+    similarity fits -> KF warp/predict/KLT-update -> out-of-frame IoS.
+
+    The reference overlaps CPU flow with GPU inference here; on TPU both
+    live in the same graph so XLA schedules them, and the host pays one
+    dispatch + one small readback per frame.
+    """
+    from .ops import flow_kernels as fk
+
+    cur_state = fk._preprocess_jit(spec, cur_frame)
+    cur_gray, cur_pyr, cur_bg = cur_state
+    (h_ok, h_mat, bg_prev, bg_cur, bg_inlier, est, est_valid, inl_ratio,
+     trk_prev, trk_cur, out_kp_valid) = fk.flow_step_core(
+        spec, prev_gray, prev_pyr, prev_bg, cur_pyr,
+        f_tlbrs, f_valid, f_kps, f_kp_valid, seed)
+
+    # gather flow results into KF track order
+    slot = jnp.maximum(flow_slot, 0)
+    has_klt = (flow_slot >= 0) & est_valid[slot]
+    klt_tlbrs = est[slot]
+    new_inl = jnp.where(has_klt, inl_ratio[slot], stored_inl)
+    mult = jnp.maximum(age_penalty * ages.astype(jnp.float32), 1.0) / \
+        jnp.maximum(new_inl, 1e-6)
+
+    h_use = jnp.where(h_ok, h_mat, jnp.eye(3, dtype=h_mat.dtype))
+    means, covs = kf.batched_warp(means, covs, h_use.astype(jnp.float32))
+    means, covs = kf.batched_predict(cfg, means, covs, trans, acc_cov)
+    up_means, up_covs = kf.batched_update(
+        cfg, means, covs, klt_tlbrs, jnp.ones(means.shape[0], dtype=bool),
+        mult)
+    means = jnp.where(has_klt[:, None], up_means, means)
+    covs = jnp.where(has_klt[:, None, None], up_covs, covs)
+    next_tlbrs = geom.as_tlbr(means[:, :4])
+    ios_vals = geom.ios(next_tlbrs,
+                        jnp.broadcast_to(frame_tlbr, next_tlbrs.shape))
+
+    return (cur_state, h_ok, h_mat, bg_prev, bg_cur, bg_inlier,
+            est, est_valid, new_inl, trk_prev, trk_cur, out_kp_valid,
+            means, covs, next_tlbrs, ios_vals, has_klt)
+
+
 @partial(jax.jit, static_argnames=('cfg', 'metric', 'motion_weight',
                                    'max_assoc_cost', 'iou_gate', 'fill_val'))
 def _assoc_costs(cfg: KalmanConfig, metric: dist.Metric, motion_weight: float,
@@ -188,6 +238,7 @@ class MultiTracker:
         self.confirm_hits = confirm_hits
         assert history_size >= 0
         self.history_size = history_size
+        self._hist_bucket = _bucket(max(history_size, 1))
 
         self.kf_cfg = KalmanConfig(**_cfg_kwargs(kalman_filter_cfg))
         self.tracks: dict[int, Track] = {}
@@ -217,21 +268,114 @@ class MultiTracker:
         """Initialize from detections in the first frame (tracker.py:121-137)."""
         self.tracks.clear()
         self.flow.init(frame)
-        n = len(detections)
+        n = min(len(detections), MAX_DETS)
         if n:
-            tlbrs = np.ascontiguousarray(detections.tlbr, dtype=np.float32)
-            means, covs = _create_kernel(self.kf_cfg, tlbrs)
+            tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+            tlbrs[:n] = detections.tlbr[:n]
+            means, covs = _create_kernel(self.kf_cfg, jnp.asarray(tlbrs))
             means, covs = np.asarray(means), np.asarray(covs)
-            for i, det in enumerate(detections):
+            for i, det in enumerate(detections[:n]):
                 state = (means[i], covs[i])
                 new_trk = Track(0, det.tlbr, state, det.label, self.confirm_hits)
                 self.tracks[new_trk.trk_id] = new_trk
                 LOGGER.debug(f"{'Detected:':<14}{new_trk}")
 
     def track(self, frame):
-        """compute_flow + apply_kalman (tracker.py:139-148)."""
-        self.compute_flow(frame)
-        self.apply_kalman()
+        """Tracking-only frame: flow + Kalman fused into one device
+        dispatch (vs compute_flow + apply_kalman, tracker.py:139-148)."""
+        from .ops import flow_kernels as fk
+
+        if self.flow.device_state is None:
+            self.flow.init(frame)
+            return
+
+        # flow packing: active tracks sorted near-to-far (flow.py:157)
+        active = sorted((t for t in self.tracks.values() if t.active),
+                        reverse=True)[:fk.MAX_FLOW_TRACKS]
+        f_tlbrs = np.zeros((fk.MAX_FLOW_TRACKS, 4), np.float32)
+        f_valid = np.zeros(fk.MAX_FLOW_TRACKS, bool)
+        f_kps = np.zeros((fk.MAX_FLOW_TRACKS, fk.KP_PER_TRACK, 2), np.float32)
+        f_kp_valid = np.zeros((fk.MAX_FLOW_TRACKS, fk.KP_PER_TRACK), bool)
+        slot_of = {}
+        for i, trk in enumerate(active):
+            slot_of[trk.trk_id] = i
+            f_tlbrs[i] = trk.tlbr
+            f_valid[i] = True
+            k = min(len(trk.keypoints), fk.KP_PER_TRACK)
+            if k:
+                f_kps[i, :k] = trk.keypoints[:k]
+                f_kp_valid[i, :k] = True
+
+        # KF packing: every live track (fixed capacity - one compile)
+        trk_ids = list(self.tracks.keys())[:MAX_TRACKS]
+        n = len(trk_ids)
+        b = MAX_TRACKS
+        means = np.zeros((b, 8), np.float32)
+        covs = np.tile(np.eye(8, dtype=np.float32), (b, 1, 1))
+        flow_slot = np.full(b, -1, np.int32)
+        ages = np.zeros(b, np.int32)
+        stored_inl = np.ones(b, np.float32)
+        for i, tid in enumerate(trk_ids):
+            trk = self.tracks[tid]
+            means[i], covs[i] = trk.state
+            flow_slot[i] = slot_of.get(tid, -1)
+            ages[i] = trk.age
+            stored_inl[i] = trk.inlier_ratio
+
+        prev_gray, prev_pyr, prev_bg = self.flow.device_state
+        out = _fused_track_kernel(
+            self.kf_cfg, self.flow.spec, float(self.age_penalty),
+            prev_gray, prev_pyr, prev_bg, jnp.asarray(frame),
+            jnp.asarray(f_tlbrs), jnp.asarray(f_valid), jnp.asarray(f_kps),
+            jnp.asarray(f_kp_valid), jnp.uint32(self.flow.next_seed()),
+            jnp.asarray(means), jnp.asarray(covs), jnp.asarray(flow_slot),
+            jnp.asarray(ages), jnp.asarray(stored_inl),
+            self._trans_mat, self._acc_cov,
+            jnp.asarray(self.frame_rect, dtype=jnp.float32))
+
+        cur_state = out[0]
+        (h_ok, h_mat, bg_prev, bg_cur, bg_inlier, est, est_valid, new_inl,
+         trk_prev, trk_cur, out_kp_valid, new_means, new_covs, next_tlbrs,
+         ios_vals, has_klt) = (np.asarray(o) for o in out[1:])
+
+        failed = not bool(h_ok)
+        self.flow.advance(cur_state, failed=failed)
+
+        if failed:
+            for trk in active:
+                trk.keypoints = np.empty((0, 2), np.float32)
+            self.klt_bboxes = {}
+            self.homography = None
+            LOGGER.warning('Camera motion estimation failed')
+            self.tracks.clear()
+            return
+
+        keep = bg_inlier.astype(bool)
+        self.flow.prev_bg_keypoints = bg_prev[keep]
+        self.flow.bg_keypoints = bg_cur[keep]
+        self.homography = h_mat.astype(np.float64)
+
+        self.klt_bboxes = {}
+        for trk in active:
+            i = slot_of[trk.trk_id]
+            kv = out_kp_valid[i].astype(bool)
+            trk.prev_keypoints = trk_prev[i][kv]
+            trk.keypoints = trk_cur[i][kv]
+            if est_valid[i]:
+                self.klt_bboxes[trk.trk_id] = est[i].astype(np.float64)
+            else:
+                trk.keypoints = np.empty((0, 2), np.float32)
+
+        next_tlbrs = next_tlbrs.astype(np.float64)
+        for i, tid in enumerate(trk_ids):
+            track = self.tracks[tid]
+            if has_klt[i]:
+                track.inlier_ratio = float(new_inl[i])
+            track.update(next_tlbrs[i], (new_means[i], new_covs[i]))
+            if ios_vals[i] < 0.5:
+                if track.confirmed:
+                    LOGGER.info(f"{'Out:':<14}{track}")
+                self._mark_lost(tid)
 
     def compute_flow(self, frame):
         """KLT tracklet + camera motion estimation (tracker.py:150-162)."""
@@ -246,9 +390,9 @@ class MultiTracker:
         (tracker.py:164-183)."""
         if not self.tracks:
             return
-        trk_ids = list(self.tracks.keys())
+        trk_ids = list(self.tracks.keys())[:MAX_TRACKS]
         n = len(trk_ids)
-        b = _bucket(n)
+        b = MAX_TRACKS
         means = np.zeros((b, 8), np.float32)
         covs = np.tile(np.eye(8, dtype=np.float32), (b, 1, 1))
         klt_tlbrs = np.zeros((b, 4), np.float32)
@@ -291,8 +435,11 @@ class MultiTracker:
         trk_ids = list(self.tracks.keys())
         n_trk = len(trk_ids)
 
-        tb = _bucket(max(n_trk, 1))
-        db = _bucket(max(n_det, 1))
+        tb = MAX_TRACKS
+        db = MAX_DETS
+        n_det = min(n_det, MAX_DETS)
+        trk_ids = trk_ids[:MAX_TRACKS]
+        n_trk = len(trk_ids)
         feat_dim = embeddings.shape[1] if embeddings is not None and \
             getattr(embeddings, 'ndim', 0) == 2 and embeddings.shape[0] else 512
 
@@ -303,12 +450,12 @@ class MultiTracker:
         d_valid = np.zeros(db, bool)
         d_emb = np.zeros((db, feat_dim), np.float32)
         if n_det:
-            d_tlbrs[:n_det] = detections.tlbr
-            d_labels[:n_det] = detections.label
-            d_conf[:n_det] = detections.conf
+            d_tlbrs[:n_det] = detections.tlbr[:n_det]
+            d_labels[:n_det] = detections.label[:n_det]
+            d_conf[:n_det] = detections.conf[:n_det]
             d_valid[:n_det] = True
             if embeddings is not None and len(embeddings):
-                d_emb[:n_det] = embeddings
+                d_emb[:n_det] = embeddings[:n_det]
 
         occluded = np.zeros(db, bool)
         if n_det:
@@ -383,7 +530,8 @@ class MultiTracker:
         reid_matches: list[tuple[int, int]] = []
         reid_u_det_ids = np.flatnonzero(valid_u_det_mask)
         if hist_ids and valid_u_det_mask.any():
-            hb = _bucket(len(hist_ids))
+            hb = self._hist_bucket
+            hist_ids = hist_ids[:hb]
             h_feats = np.zeros((hb, feat_dim), np.float32)
             h_labels = np.full(hb, -2, np.int32)
             for i, tid in enumerate(hist_ids):
@@ -418,7 +566,8 @@ class MultiTracker:
         # ---- reinstate reID matches --------------------------------------
         if reid_matches:
             det_ids = [j for _, j in reid_matches]
-            tlbrs = d_tlbrs[det_ids]
+            tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+            tlbrs[:len(det_ids)] = d_tlbrs[det_ids]
             new_means, new_covs = _create_kernel(self.kf_cfg, jnp.asarray(tlbrs))
             new_means, new_covs = np.asarray(new_means), np.asarray(new_covs)
             for k, (tid, det_id) in enumerate(reid_matches):
@@ -432,9 +581,7 @@ class MultiTracker:
         # ---- update matched tracks (batched KF detector update) ----------
         matches = list(matches)
         if matches:
-            m_trk_ids = [tid for tid, _ in matches]
-            m_det_ids = [j for _, j in matches]
-            mb = _bucket(len(matches))
+            mb = MAX_TRACKS
             m_means = np.zeros((mb, 8), np.float32)
             m_covs = np.tile(np.eye(8, dtype=np.float32), (mb, 1, 1))
             m_tlbrs = np.zeros((mb, 4), np.float32)
@@ -477,7 +624,8 @@ class MultiTracker:
         # ---- start new tracks --------------------------------------------
         new_det_ids = list(invalid_u_det_ids) + list(reid_u_det_ids)
         if new_det_ids:
-            tlbrs = d_tlbrs[new_det_ids]
+            tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+            tlbrs[:len(new_det_ids)] = d_tlbrs[new_det_ids]
             new_means, new_covs = _create_kernel(self.kf_cfg, jnp.asarray(tlbrs))
             new_means, new_covs = np.asarray(new_means), np.asarray(new_covs)
             for k, det_id in enumerate(new_det_ids):
@@ -544,8 +692,8 @@ class MultiTracker:
 
         m_inactive = [tid for tid, _ in inactive_matches]
         det_ids = [j for _, j in inactive_matches]
-        ab = _bucket(len(u_active))
-        cb = _bucket(len(det_ids))
+        ab = MAX_TRACKS
+        cb = MAX_DETS
         t_boxes = np.zeros((ab, 4), np.float32)
         for i, tid in enumerate(u_active):
             t_boxes[i] = self.tracks[tid].tlbr

@@ -81,12 +81,28 @@ class VideoIO:
         self.protocol = _parse_uri(input_uri)
         self.is_live = self.protocol not in (Protocol.IMAGE, Protocol.VIDEO)
 
-        if self.protocol == Protocol.IMAGE:
-            self.source = cv2.VideoCapture(input_uri, cv2.CAP_IMAGES)
+        # native multithreaded JPEG decode for image sequences when built
+        # (native/framepipe.cpp — the role of the reference's hardware
+        # GStreamer decode pipeline, videoio.py:156-238)
+        self._pipe = None
+        if self.protocol == Protocol.IMAGE and '%' in input_uri and \
+                input_uri.lower().endswith(('.jpg', '.jpeg')):
+            from .utils.framepipe import FramePipe
+            if FramePipe.available():
+                try:
+                    self._pipe = FramePipe(input_uri, self.size)
+                except Exception:
+                    self._pipe = None
+
+        if self._pipe is None:
+            if self.protocol == Protocol.IMAGE:
+                self.source = cv2.VideoCapture(input_uri, cv2.CAP_IMAGES)
+            else:
+                self.source = cv2.VideoCapture(input_uri)
+            if not self.source.isOpened():
+                raise RuntimeError(f'Unable to open video stream: {input_uri}')
         else:
-            self.source = cv2.VideoCapture(input_uri)
-        if not self.source.isOpened():
-            raise RuntimeError(f'Unable to open video stream: {input_uri}')
+            self.source = None
 
         self.frame_queue: deque = deque([], maxlen=buffer_size)
         self.cond = threading.Condition()
@@ -95,14 +111,15 @@ class VideoIO:
                                            daemon=True)
 
         # validate the stream with the first frame (videoio.py:82-85)
-        ret, frame = self.source.read()
+        ret, frame = self._source_read()
         if not ret:
             raise RuntimeError(f'Unable to read video stream: {input_uri}')
         if frame.shape[1::-1] != self.size:
             frame = cv2.resize(frame, self.size)
         self.frame_queue.append(frame)
 
-        src_fps = self.source.get(cv2.CAP_PROP_FPS)
+        src_fps = self.source.get(cv2.CAP_PROP_FPS) \
+            if self.source is not None else 0
         self.cap_fps = src_fps if src_fps > 0 else self.frame_rate
         # for live sources, processing cannot outpace proc_fps
         # (videoio.py:105-108)
@@ -115,9 +132,15 @@ class VideoIO:
             self.writer = cv2.VideoWriter(output_uri, fourcc, self.cap_fps,
                                           self.size)
 
+    def _source_read(self):
+        if self._pipe is not None:
+            frame = self._pipe.read()
+            return frame is not None, frame
+        return self.source.read()
+
     def start_capture(self):
         """Start the capture thread (videoio.py:110-115)."""
-        if not self.source.isOpened():
+        if self.source is not None and not self.source.isOpened():
             self.source.open(self.input_uri)
         if not self.cap_thread.is_alive():
             self.cap_thread.start()
@@ -150,13 +173,16 @@ class VideoIO:
         self.stop_capture()
         if self.writer is not None:
             self.writer.release()
-        self.source.release()
+        if self._pipe is not None:
+            self._pipe.close()
+        if self.source is not None:
+            self.source.release()
 
     def _capture_frames(self):
         """Capture loop: live sources drop frames, files block
         (videoio.py:240-254)."""
         while not self.exit_event.is_set():
-            ret, frame = self.source.read()
+            ret, frame = self._source_read()
             with self.cond:
                 if not ret:
                     self.exit_event.set()
