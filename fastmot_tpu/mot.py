@@ -18,6 +18,7 @@ import enum
 import logging
 from types import SimpleNamespace
 
+import jax.numpy as jnp
 import numpy as np
 
 from .detector import PublicDetector
@@ -92,7 +93,11 @@ class MOT:
         self.frame_count = 0
 
     def visible_tracks(self):
-        """Confirmed and active tracks from the tracker (mot.py:103-112)."""
+        """Confirmed and active tracks from the tracker (mot.py:103-112).
+
+        Forces consumption of any in-flight chained-frame results so the
+        host mirrors are current."""
+        self.tracker.sync()
         return (track for track in self.tracker.tracks.values()
                 if track.confirmed and track.active)
 
@@ -104,26 +109,29 @@ class MOT:
     def step(self, frame):
         """Run the tracker on the next frame (mot.py:125-168)."""
         detections = []
+        # one host->device transfer per frame, shared by the detector,
+        # optical flow, and the ReID extractor (the reference's pinned
+        # buffers play this role, inference.py:7-36)
+        frame_dev = jnp.asarray(frame)
         if self.frame_count == 0:
-            detections = self.detector(frame)
-            self.tracker.init(frame, detections)
+            detections = self.detector(frame_dev)
+            self.tracker.init(frame_dev, detections)
         elif self.frame_count % self.detector_frame_skip == 0:
             with Profiler('preproc'):
-                self.detector.detect_async(frame)
+                self.detector.detect_async(frame_dev)
 
             with Profiler('detect'):
                 with Profiler('track'):
-                    self.tracker.compute_flow(frame)
+                    # flow + Kalman for the whole frame, dispatched while
+                    # the detector graph runs (XLA schedules both)
+                    self.tracker.track(frame_dev)
                 detections = self.detector.postprocess()
 
             with Profiler('extract'):
                 cls_bboxes = self._split_bboxes_by_cls(
                     detections.tlbr, detections.label, self.class_ids)
                 for extractor, bboxes in zip(self.extractors, cls_bboxes):
-                    extractor.extract_async(frame, bboxes)
-
-                with Profiler('track', aggregate=True):
-                    self.tracker.apply_kalman()
+                    extractor.extract_async(frame_dev, bboxes)
 
                 embeddings = [ex.postprocess() for ex in self.extractors]
                 embeddings = np.concatenate(embeddings) \
@@ -133,7 +141,7 @@ class MOT:
                 self.tracker.update(self.frame_count, detections, embeddings)
         else:
             with Profiler('track'):
-                self.tracker.track(frame)
+                self.tracker.track(frame_dev)
 
         if self.draw:
             self._draw(frame, detections)
