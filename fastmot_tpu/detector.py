@@ -227,12 +227,21 @@ class YOLODetector(Detector):
 
     def postprocess(self):
         """Block on the dispatched graph and build the recarray."""
-        tlbr, label, conf, valid = (np.asarray(o) for o in self._pending)
+        tlbr, label, conf, valid = jax.device_get(self._pending)
         self._pending = None
         keep = valid
         return make_detections(tlbr[keep].astype(float),
                                label[keep].astype(int),
                                conf[keep].astype(float))
+
+    def postprocess_device(self):
+        """Return the padded (tlbr, label, conf, valid) DEVICE arrays
+        without any host synchronization — consumed directly by the
+        tracker's association kernel (one batched readback at the end of
+        the association instead of one per stage)."""
+        out = self._pending
+        self._pending = None
+        return out
 
 
 class SSDDetector(Detector):
@@ -453,3 +462,19 @@ class PublicDetector(Detector):
             np.empty(0, DET_DTYPE).view(np.recarray)
         self.frame_id += self.frame_skip
         return out
+
+    def postprocess_device(self):
+        """Padded device arrays for the all-device association path."""
+        import jax
+        det = self.postprocess()
+        n = min(len(det), MAX_DETS)
+        tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+        labels = np.full(MAX_DETS, -1, np.int32)
+        confs = np.zeros(MAX_DETS, np.float32)
+        valid = np.zeros(MAX_DETS, bool)
+        if n:
+            tlbrs[:n] = det.tlbr[:n]
+            labels[:n] = det.label[:n]
+            confs[:n] = det.conf[:n]
+            valid[:n] = True
+        return jax.device_put((tlbrs, labels, confs, valid))

@@ -125,6 +125,14 @@ class FeatureExtractor:
             self.module, self._out_hw, self.params,
             jnp.asarray(frame), jnp.asarray(boxes), jnp.asarray(valid))
 
+    def extract_async_device(self, frame_dev, tlbrs_dev, valid_dev):
+        """Device-array variant: crop boxes come straight from the
+        detector graph — no host round trip."""
+        self._n = int(tlbrs_dev.shape[0])
+        self._pending = _extract_kernel(
+            self.module, self._out_hw, self.params,
+            frame_dev, tlbrs_dev, valid_dev)
+
     def postprocess(self):
         """Block on the dispatched extraction; [N, D] float32."""
         if self._n == 0:
@@ -132,6 +140,13 @@ class FeatureExtractor:
         emb = np.asarray(self._pending)[:self._n]
         self._pending = None
         return emb
+
+    def postprocess_device(self):
+        """The padded [B, D] embeddings as a DEVICE array (row i aligns
+        with detection i); no synchronization."""
+        out = self._pending
+        self._pending = None
+        return out
 
     def null_embeddings(self, detections):
         """Identical embeddings — disables appearance

@@ -117,6 +117,11 @@ class MOT:
             detections = self.detector(frame_dev)
             self.tracker.init(frame_dev, detections)
         elif self.frame_count % self.detector_frame_skip == 0:
+            # all-device detection frame: detector output and embeddings
+            # stay on device end-to-end; the association consumes them
+            # with a single batched readback (two total for the frame)
+            device_path = (not self.draw and len(self.extractors) == 1
+                           and hasattr(self.detector, 'postprocess_device'))
             with Profiler('preproc'):
                 self.detector.detect_async(frame_dev)
 
@@ -125,20 +130,32 @@ class MOT:
                     # flow + Kalman for the whole frame, dispatched while
                     # the detector graph runs (XLA schedules both)
                     self.tracker.track(frame_dev)
-                detections = self.detector.postprocess()
+                if device_path:
+                    det_dev = self.detector.postprocess_device()
+                else:
+                    detections = self.detector.postprocess()
 
             with Profiler('extract'):
-                cls_bboxes = self._split_bboxes_by_cls(
-                    detections.tlbr, detections.label, self.class_ids)
-                for extractor, bboxes in zip(self.extractors, cls_bboxes):
-                    extractor.extract_async(frame_dev, bboxes)
-
-                embeddings = [ex.postprocess() for ex in self.extractors]
-                embeddings = np.concatenate(embeddings) \
-                    if len(embeddings) > 1 else embeddings[0]
+                if device_path:
+                    self.extractors[0].extract_async_device(
+                        frame_dev, det_dev[0], det_dev[3])
+                    emb_dev = self.extractors[0].postprocess_device()
+                else:
+                    cls_bboxes = self._split_bboxes_by_cls(
+                        detections.tlbr, detections.label, self.class_ids)
+                    for extractor, bboxes in zip(self.extractors, cls_bboxes):
+                        extractor.extract_async(frame_dev, bboxes)
+                    embeddings = [ex.postprocess() for ex in self.extractors]
+                    embeddings = np.concatenate(embeddings) \
+                        if len(embeddings) > 1 else embeddings[0]
 
             with Profiler('assoc'):
-                self.tracker.update(self.frame_count, detections, embeddings)
+                if device_path:
+                    self.tracker.update_device(self.frame_count, det_dev,
+                                               emb_dev)
+                else:
+                    self.tracker.update(self.frame_count, detections,
+                                        embeddings)
         else:
             with Profiler('track'):
                 self.tracker.track(frame_dev)

@@ -21,11 +21,13 @@ CHI_SQ_INV_95 = 9.4877  # 0.95 quantile of chi-square distribution (4 dof)
 INF_COST = 1e5
 
 # Forbidden entries are clamped to this before solving so the auction's
-# price range (and hence its iteration count) stays small. Any value far
-# above the max finite cost (~2.0 for fused appearance costs) works: the
-# solver avoids clamped entries whenever a finite-cost maximal matching
-# exists, and clamped matches are filtered out afterwards.
-_FORBID = 1e3
+# price range (and hence its iteration count) stays small. Correctness
+# requires only _FORBID > 2 x the max finite cost (~2.0 for fused
+# appearance costs): swapping one forbidden pair for two real pairs then
+# always lowers the total, so the solver avoids clamped entries whenever a
+# finite-cost maximal matching exists; clamped matches are filtered out
+# afterwards. Keeping it small keeps the epsilon-scaling phase count low.
+_FORBID = 8.0
 
 
 @partial(jax.jit, static_argnames=('eps_final', 'max_iters'))
@@ -56,16 +58,32 @@ def auction_lap(cost: jax.Array,
         col_valid = jnp.ones(c, dtype=bool)
 
     # Pad to square. Padded / invalid / forbidden entries get _FORBID.
+    # NOTE: the square-symmetric formulation (every row assigned) is what
+    # makes the forward auction optimal — early "valid rows done"
+    # termination is the asymmetric problem, which forward-only auction
+    # solves suboptimally without a lambda correction.
     big = jnp.full((n, n), _FORBID, dtype=jnp.float32)
     cost_f = jnp.minimum(cost.astype(jnp.float32), _FORBID)
     cost_f = jnp.where(row_valid[:, None] & col_valid[None, :], cost_f, _FORBID)
     sq = big.at[:r, :c].set(cost_f)
     benefit = -sq  # auction maximizes
 
+    # deterministic micro-bias breaks the degeneracy of uniform padded
+    # rows: without it every dummy row bids the same cheapest column and
+    # they settle one per round (O(n) rounds/phase); with distinct
+    # preferences they spread across free columns and settle in a few
+    # rounds. Total distortion <= n * _BIAS, folded into the tolerance.
+    _BIAS = 1e-4
+    ii = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 1)
+    noise = ((ii * jnp.uint32(2654435761) + jj * jnp.uint32(40503))
+             % jnp.uint32(65536)).astype(jnp.float32) / 65536.0
+    benefit = benefit + _BIAS * noise
+
     idx = jnp.arange(n)
 
     def run_phase(eps, owner, price):
-        """One epsilon phase: bid until all rows assigned."""
+        """One epsilon phase: bid until every row is assigned."""
 
         def cond(state):
             owner, price, it = state
@@ -73,7 +91,7 @@ def auction_lap(cost: jax.Array,
 
         def body(state):
             owner, price, it = state
-            # Rows currently unassigned bid simultaneously (Jacobi auction).
+            # Unassigned rows bid simultaneously (Jacobi auction).
             # (scatter-add with out-of-bounds drop — duplicate-safe OR)
             assigned_row = jnp.zeros(n, dtype=jnp.int32).at[
                 jnp.where(owner >= 0, owner, n)].add(1, mode='drop') > 0
@@ -107,7 +125,7 @@ def auction_lap(cost: jax.Array,
     # the optimal total cost.
     price = jnp.zeros(n, dtype=jnp.float32)
     owner = jnp.full(n, -1, dtype=jnp.int32)
-    eps = jnp.float32(_FORBID / 4.0)
+    eps = jnp.float32(0.5)
 
     def scale_cond(state):
         eps, _, _ = state

@@ -182,8 +182,9 @@ class Track:
         self.frame_ids.append(frame_id)
         self.bboxes.append(np.asarray(tlbr, dtype=np.float64))
         self.state = state
-        self.last_feat = embedding
-        self.avg_feat.update(embedding)
+        if embedding is not None:
+            self.last_feat = embedding
+            self.avg_feat.update(embedding)
         self.age = 0
         self.keypoints = np.empty((0, 2), np.float32)
         self.prev_keypoints = np.empty((0, 2), np.float32)
