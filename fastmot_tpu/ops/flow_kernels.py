@@ -177,6 +177,45 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             + c * fy * (1 - fx) + d * fy * fx)
 
 
+def _patch_table(img: jax.Array, win: int) -> jax.Array:
+    """[H*W, win*win] table of the win x win window around every pixel.
+
+    Built from win^2 shifted copies (pure vectorized shifts); turns the
+    per-point window sampling of LK into CONTIGUOUS-ROW gathers, which
+    the TPU lowers efficiently — the naive per-pixel gather formulation
+    measured >100 ms per frame on scattered real keypoints.
+    """
+    h, w = img.shape
+    half = (win - 1) // 2
+    pad = jnp.pad(img, half, mode='edge')
+    taps = [pad[dy:dy + h, dx:dx + w]
+            for dy in range(win) for dx in range(win)]
+    return jnp.stack(taps, axis=-1).reshape(h * w, win * win)
+
+
+def _sample_patches(tab: jax.Array, w: int, h: int,
+                    x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinearly interpolated patch rows at subpixel points: ONE gather of
+    the four corner rows per point ([P, 4] indices -> [P, 4, row]) plus a
+    lerp. ``tab`` may hold several concatenated tables along the row."""
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    idx = jnp.stack([y0 * w + x0, y0 * w + x1,
+                     y1 * w + x0, y1 * w + x1], axis=-1)     # [P, 4]
+    rows = jnp.take(tab, idx, axis=0)                        # [P, 4, R]
+    wts = jnp.stack([(1 - fy[:, 0]) * (1 - fx[:, 0]),
+                     (1 - fy[:, 0]) * fx[:, 0],
+                     fy[:, 0] * (1 - fx[:, 0]),
+                     fy[:, 0] * fx[:, 0]], axis=-1)          # [P, 4]
+    return jnp.einsum('pf,pfr->pr', wts, rows)
+
+
 def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
     """Track ``pts`` (at optical-flow scale) from prev to cur pyramid.
 
@@ -185,13 +224,10 @@ def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
     template (prev) window gradients; ``iters`` Gauss-Newton steps update
     the displacement; the result seeds the next finer level. Returns
     (new_pts, status, err) with err = mean |patch difference| as in OpenCV.
-    """
-    half = (spec.win - 1) // 2
-    offs = jnp.stack(jnp.meshgrid(
-        jnp.arange(-half, half + 1, dtype=jnp.float32),
-        jnp.arange(-half, half + 1, dtype=jnp.float32),
-        indexing='xy'), axis=-1).reshape(-1, 2)  # [win*win, 2] (x, y)
 
+    Window sampling goes through per-level patch tables (_patch_table) so
+    every memory access is a contiguous-row gather.
+    """
     n_levels = len(prev_pyr)
     g = jnp.zeros_like(pts)          # flow guess from coarser levels
     err = jnp.zeros(pts.shape[0], jnp.float32)
@@ -200,39 +236,57 @@ def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
     for level in range(n_levels - 1, -1, -1):
         prev_img = prev_pyr[level]
         cur_img = cur_pyr[level]
+        h, w = prev_img.shape
         scale = 1.0 / (2 ** level)
         p = pts * scale              # template positions at this level
-        px = p[:, 0:1] + offs[None, :, 0]
-        py = p[:, 1:2] + offs[None, :, 1]
-        t_patch = _bilinear_sample(prev_img, px, py)
-        # template gradients by central difference at sample positions
-        gx = (_bilinear_sample(prev_img, px + 1.0, py)
-              - _bilinear_sample(prev_img, px - 1.0, py)) * 0.5
-        gy = (_bilinear_sample(prev_img, px, py + 1.0)
-              - _bilinear_sample(prev_img, px, py - 1.0)) * 0.5
+
+        # np.gradient-style derivatives: central differences inside,
+        # one-sided at borders (zeroed borders made G nearly singular for
+        # coarse-level points near edges, passing the det check with
+        # garbage directions)
+        gx_img = jnp.gradient(prev_img, axis=1)
+        gy_img = jnp.gradient(prev_img, axis=0)
+
+        # one combined template table: value | d/dx | d/dy (one gather)
+        tpl_tab = jnp.concatenate([_patch_table(prev_img, spec.win),
+                                   _patch_table(gx_img, spec.win),
+                                   _patch_table(gy_img, spec.win)], axis=1)
+        c_tab = _patch_table(cur_img, spec.win)
+
+        px, py = p[:, 0], p[:, 1]
+        ww = spec.win * spec.win
+        tpl = _sample_patches(tpl_tab, w, h, px, py)
+        t_patch = tpl[:, :ww]
+        gx = tpl[:, ww:2 * ww]
+        gy = tpl[:, 2 * ww:]
         gxx = jnp.sum(gx * gx, axis=1)
         gyy = jnp.sum(gy * gy, axis=1)
         gxy = jnp.sum(gx * gy, axis=1)
         det = gxx * gyy - gxy * gxy
-        inv_ok = det > 1e-6
-        det_safe = jnp.where(inv_ok, det, 1.0)
+        # cv2-style minimum-eigenvalue gate (minEigThreshold=1e-4 on
+        # G / window area) rejects flat/degenerate windows outright
+        min_eig = 0.5 * (gxx + gyy - jnp.sqrt(
+            jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy ** 2, 0.0)))
+        inv_ok = min_eig / (spec.win * spec.win) > 1e-4
+        det_safe = jnp.where(det > 1e-12, det, 1.0)
 
         def body(_, v):
-            cx = px + v[:, 0:1]
-            cy = py + v[:, 1:2]
-            c_patch = _bilinear_sample(cur_img, cx, cy)
+            c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
             diff = t_patch - c_patch
             bx = jnp.sum(diff * gx, axis=1)
             by = jnp.sum(diff * gy, axis=1)
             dx = (gyy * bx - gxy * by) / det_safe
             dy = (gxx * by - gxy * bx) / det_safe
-            step = jnp.stack([dx, dy], axis=-1)
+            # trust region: a Gauss-Newton step larger than the window is
+            # meaningless and catapults the track (observed at borders)
+            step = jnp.clip(jnp.stack([dx, dy], axis=-1),
+                            -float(spec.win), float(spec.win))
             return v + jnp.where(inv_ok[:, None], step, 0.0)
 
         v = jax.lax.fori_loop(0, spec.iters, body, g)
 
         # final error at this level (only level 0's value is reported)
-        c_patch = _bilinear_sample(cur_img, px + v[:, 0:1], py + v[:, 1:2])
+        c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
         err = jnp.mean(jnp.abs(t_patch - c_patch), axis=1)
         ok = ok & inv_ok
 
@@ -327,9 +381,14 @@ def ransac_homography(prev_pts, cur_pts, valid, key, inlier_thresh: int):
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
     inlier = inl[best]
+    h_best = h_px[best]
 
-    # two refinement passes: masked DLT over current inliers
-    def refine(inlier, _):
+    # guarded refinement: the all-inlier masked DLT can LOSE accuracy in
+    # float32 (observed: a 256/256-inlier hypothesis refined into a
+    # 24-inlier model), so a refined model is only adopted when it keeps
+    # at least as many inliers as the current one.
+    def refine(state, _):
+        h_best, inlier = state
         r1, r2 = _dlt_rows(p_n, q_n)             # [n, 9] each
         w = inlier[:, None].astype(jnp.float32)
         a_full = jnp.concatenate([r1 * w, r2 * w], axis=0)  # [2n, 9]
@@ -338,12 +397,16 @@ def ransac_homography(prev_pts, cur_pts, valid, key, inlier_thresh: int):
         proj = _apply_h(h_ref[None], prev_pts)
         err2 = jnp.sum((proj - cur_pts) ** 2, axis=-1)
         new_inlier = (err2 < RANSAC_REPROJ ** 2) & valid
-        return new_inlier, h_ref
+        better = jnp.sum(new_inlier) >= jnp.sum(inlier)
+        h_best = jnp.where(better, h_ref, h_best)
+        inlier = jnp.where(better, new_inlier, inlier)
+        return (h_best, inlier), None
 
-    inlier, h_ref = refine(inlier, None)
-    inlier, h_ref = refine(inlier, None)
+    (h_best, inlier), _ = refine((h_best, inlier), None)
+    (h_best, inlier), _ = refine((h_best, inlier), None)
 
-    h_norm = h_ref / jnp.where(jnp.abs(h_ref[2, 2]) > 1e-9, h_ref[2, 2], 1e-9)
+    h_norm = h_best / jnp.where(jnp.abs(h_best[2, 2]) > 1e-9,
+                                h_best[2, 2], 1e-9)
     n_inl = jnp.sum(inlier)
     ok = (cnt >= 4) & (n_inl >= inlier_thresh)
     return ok, h_norm, inlier
@@ -387,6 +450,11 @@ def ransac_similarity(prev_pts, cur_pts, valid, key, inlier_thresh: int):
     inl = (err2 < RANSAC_REPROJ ** 2) & valid[None, :]
     best = jnp.argmax(jnp.sum(inl, axis=1))
     inlier = inl[best]
+    aff_best = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    aff_best = aff_best.at[0, 0].set(a[best]).at[0, 1].set(-b[best]) \
+        .at[0, 2].set(tx[best])
+    aff_best = aff_best.at[1, 0].set(b[best]).at[1, 1].set(a[best]) \
+        .at[1, 2].set(ty[best])
 
     # masked least-squares refinement of [a, b, tx, ty]
     def refine(inlier):
@@ -417,12 +485,17 @@ def ransac_similarity(prev_pts, cur_pts, valid, key, inlier_thresh: int):
         aff = aff.at[1, 0].set(b_r).at[1, 1].set(a_r).at[1, 2].set(ty_r)
         return new_inlier, aff
 
-    inlier, aff = refine(inlier)
-    inlier, aff = refine(inlier)
+    # guarded refinement (see ransac_homography): only adopt a refit that
+    # keeps at least as many inliers
+    for _ in range(2):
+        new_inlier, aff_try = refine(inlier)
+        better = jnp.sum(new_inlier) >= jnp.sum(inlier)
+        aff_best = jnp.where(better, aff_try, aff_best)
+        inlier = jnp.where(better, new_inlier, inlier)
 
     n_inl = jnp.sum(inlier)
     ok = (cnt >= 3) & (n_inl >= inlier_thresh)
-    return ok, aff, inlier, cnt, n_inl
+    return ok, aff_best, inlier, cnt, n_inl
 
 
 # ---------------------------------------------------------------------------
