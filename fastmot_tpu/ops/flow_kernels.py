@@ -216,7 +216,8 @@ def _sample_patches(tab: jax.Array, w: int, h: int,
     return jnp.einsum('pf,pfr->pr', wts, rows)
 
 
-def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
+def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
+                 spec: FlowSpec):
     """Track ``pts`` (at optical-flow scale) from prev to cur pyramid.
 
     Implements the iterative pyramidal LK of cv2.calcOpticalFlowPyrLK
@@ -234,24 +235,13 @@ def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
     ok = valid
 
     for level in range(n_levels - 1, -1, -1):
-        prev_img = prev_pyr[level]
-        cur_img = cur_pyr[level]
-        h, w = prev_img.shape
+        h, w = prev_pyr[level].shape
         scale = 1.0 / (2 ** level)
         p = pts * scale              # template positions at this level
 
-        # np.gradient-style derivatives: central differences inside,
-        # one-sided at borders (zeroed borders made G nearly singular for
-        # coarse-level points near edges, passing the det check with
-        # garbage directions)
-        gx_img = jnp.gradient(prev_img, axis=1)
-        gy_img = jnp.gradient(prev_img, axis=0)
-
-        # one combined template table: value | d/dx | d/dy (one gather)
-        tpl_tab = jnp.concatenate([_patch_table(prev_img, spec.win),
-                                   _patch_table(gx_img, spec.win),
-                                   _patch_table(gy_img, spec.win)], axis=1)
-        c_tab = _patch_table(cur_img, spec.win)
+        ww0 = spec.win * spec.win
+        tpl_tab = prev_tabs[level]            # value | d/dx | d/dy
+        c_tab = cur_tabs[level][:, :ww0]      # value columns only
 
         px, py = p[:, 0], p[:, 1]
         ww = spec.win * spec.win
@@ -270,7 +260,17 @@ def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
         inv_ok = min_eig / (spec.win * spec.win) > 1e-4
         det_safe = jnp.where(det > 1e-12, det, 1.0)
 
-        def body(_, v):
+        # cv2 criteria (COUNT | EPS): iterate until every point's step
+        # falls below eps or the count cap — typically ~3 rounds, and
+        # each round is one gather, the dominant per-frame cost
+        eps2 = 0.03 * 0.03
+
+        def cond(state):
+            v, active, it = state
+            return jnp.any(active) & (it < spec.iters)
+
+        def body(state):
+            v, active, it = state
             c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
             diff = t_patch - c_patch
             bx = jnp.sum(diff * gx, axis=1)
@@ -281,9 +281,13 @@ def lk_pyramidal(prev_pyr, cur_pyr, pts, valid, spec: FlowSpec):
             # meaningless and catapults the track (observed at borders)
             step = jnp.clip(jnp.stack([dx, dy], axis=-1),
                             -float(spec.win), float(spec.win))
-            return v + jnp.where(inv_ok[:, None], step, 0.0)
+            take = (active & inv_ok)[:, None]
+            v = v + jnp.where(take, step, 0.0)
+            still = jnp.sum(step * step, axis=1) >= eps2
+            return v, active & inv_ok & still, it + 1
 
-        v = jax.lax.fori_loop(0, spec.iters, body, g)
+        v, _, _ = jax.lax.while_loop(
+            cond, body, (g, jnp.ones(pts.shape[0], dtype=bool), 0))
 
         # final error at this level (only level 0's value is reported)
         c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
@@ -504,7 +508,15 @@ def ransac_similarity(prev_pts, cur_pts, valid, key, inlier_thresh: int):
 
 @partial(jax.jit, static_argnames=('spec',))
 def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
-    """BGR uint8 frame -> (full gray, pyramid at opt scale, bg gray)."""
+    """BGR uint8 frame -> per-frame flow state.
+
+    Everything derivable from a single frame is computed here exactly
+    once — the pyramid, the per-level patch tables (value | d/dx | d/dy,
+    used as the LK template when this frame is "previous" and as the
+    search image via the value columns when it is "current"), the
+    full-res corner candidates, and the background candidates — so the
+    per-frame flow step never recomputes previous-frame quantities.
+    """
     f = frame_bgr.astype(jnp.float32)
     # OpenCV BGR2GRAY weights
     gray = f[..., 2] * 0.299 + f[..., 1] * 0.587 + f[..., 0] * 0.114
@@ -513,17 +525,42 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     pyr = [base]
     for _ in range(spec.max_level):
         pyr.append(_downsample2(pyr[-1]))
+
+    tabs = []
+    for img in pyr:
+        gx_img = jnp.gradient(img, axis=1)
+        gy_img = jnp.gradient(img, axis=0)
+        tabs.append(jnp.concatenate([_patch_table(img, spec.win),
+                                     _patch_table(gx_img, spec.win),
+                                     _patch_table(gy_img, spec.win)],
+                                    axis=1))
+
+    resp = _shi_tomasi_response(gray)
+    cand_pts, cand_score = _grid_candidates(resp, CELL)
+
     bw, bh = spec.bg_size
     bg = _resize_bilinear(gray, (bh, bw))
-    return (gray, tuple(pyr), bg)
+    bg_resp = _shi_tomasi_response(bg)
+    bg_pts_s, bg_score = _grid_candidates(bg_resp, BG_CELL)
+    bg_scale = jnp.array([spec.bg_scale[0], spec.bg_scale[1]])
+    bg_pts_full = bg_pts_s / bg_scale
+
+    return (tuple(pyr), tuple(tabs), cand_pts, cand_score,
+            bg_pts_full, bg_score)
 
 
 def preprocess(spec: FlowSpec, frame: np.ndarray):
     return _preprocess_jit(spec, jnp.asarray(frame))
 
 
-def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
-                   cur_pyr, t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
+def flow_step_core(spec: FlowSpec, prev_state, cur_state,
+                   t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
+    """One flow step over two preprocessed frame states (see
+    _preprocess_jit): corner management, one batched LK solve, camera
+    homography RANSAC, per-track similarity fits."""
+    (prev_pyr, prev_tabs, cand_pts, cand_score,
+     bg_pts_full, bg_score) = prev_state
+    cur_pyr, cur_tabs = cur_state[0], cur_state[1]
     w_f, h_f = spec.size
     frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
     t_idx = jnp.arange(MAX_FLOW_TRACKS)
@@ -533,10 +570,8 @@ def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
     in_br = jnp.minimum(t_tlbrs[:, 2:4], frame_tlbr[2:4])
     inside = jnp.concatenate([in_tl, in_br], axis=1)
 
-    # ---- corner candidates on the previous full-res frame ---------------
-    resp = _shi_tomasi_response(prev_gray)
-    cand_pts, cand_score = _grid_candidates(resp, CELL)   # [C, 2], [C]
-
+    # ---- corner candidates (precomputed in the previous frame's
+    # preprocess) -------------------------------------------------------
     # candidate-in-box matrix and depth-order blocking:
     # tracks arrive sorted near-to-far; candidate c is blocked for track i
     # if any nearer (smaller-index) valid track's box contains it —
@@ -581,11 +616,7 @@ def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
     kps = jnp.where(use_new[..., None], new_kps, t_kps)
     kp_valid = jnp.where(use_new, new_valid, prop_valid) & t_valid[:, None]
 
-    # ---- background candidates on the bg-scale image ---------------------
-    bg_resp = _shi_tomasi_response(prev_bg)
-    bg_pts_s, bg_score = _grid_candidates(bg_resp, BG_CELL)
-    bg_scale = jnp.array([spec.bg_scale[0], spec.bg_scale[1]])
-    bg_pts_full = bg_pts_s / bg_scale                          # full-res coords
+    # ---- background candidates (precomputed) ------------------------------
     bg_in_track = jnp.any(_in_box(bg_pts_full[None], inside[:, None, :])
                           & t_valid[:, None], axis=0)
     bg_ok = ~bg_in_track & (bg_score >
@@ -601,7 +632,8 @@ def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
     all_prev = jnp.concatenate([kps.reshape(-1, 2), bg_kp], axis=0)
     all_valid = jnp.concatenate([kp_valid.reshape(-1), bg_valid], axis=0)
     cur_scaled, status, err = lk_pyramidal(
-        prev_pyr, cur_pyr, all_prev * opt_scale, all_valid, spec)
+        prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+        all_prev * opt_scale, all_valid, spec)
     all_cur = cur_scaled / opt_scale
     status = status & all_valid & (err < spec.max_error)
 
@@ -660,12 +692,10 @@ def flow_step_core(spec: FlowSpec, prev_gray, prev_pyr, prev_bg,
 _flow_step_jit = partial(jax.jit, static_argnames=('spec',))(flow_step_core)
 
 
-def flow_step(spec: FlowSpec, prev_pyr, cur_pyr, t_tlbrs, t_valid,
+def flow_step(spec: FlowSpec, prev_state, cur_state, t_tlbrs, t_valid,
               t_kps, t_kp_valid, seed: int):
-    """Host entry: unpack the (gray, pyramid, bg) tuples and run the jit."""
-    prev_gray, prev_p, prev_bg = prev_pyr
-    _, cur_p, _ = cur_pyr
-    return _flow_step_jit(spec, prev_gray, prev_p, prev_bg, cur_p,
+    """Host entry: run the jitted step over two preprocessed states."""
+    return _flow_step_jit(spec, prev_state, cur_state,
                           jnp.asarray(t_tlbrs), jnp.asarray(t_valid),
                           jnp.asarray(t_kps), jnp.asarray(t_kp_valid),
                           jnp.uint32(seed))

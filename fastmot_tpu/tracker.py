@@ -95,7 +95,7 @@ def _create_kernel(cfg: KalmanConfig, d_tlbrs):
 
 @partial(jax.jit, static_argnames=('cfg', 'spec', 'age_penalty'))
 def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
-                          prev_gray, prev_pyr, prev_bg, cur_frame, seed,
+                          prev_state, cur_frame, seed,
                           means, covs, tlbrs, valid, ages, inl,
                           kps, kp_valid, feat_sum, feat_count,
                           trans, acc_cov, frame_tlbr):
@@ -107,7 +107,6 @@ def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
     from .ops import flow_kernels as fk
 
     cur_state = fk._preprocess_jit(spec, cur_frame)
-    _, cur_pyr, _ = cur_state
     t_cap = means.shape[0]
     f_cap = fk.MAX_FLOW_TRACKS
 
@@ -123,8 +122,7 @@ def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
 
     (h_ok, h_mat, bg_prev, bg_cur, bg_inlier, est, est_valid, inl_ratio,
      trk_prev, trk_cur, out_kp_valid) = fk.flow_step_core(
-        spec, prev_gray, prev_pyr, prev_bg, cur_pyr,
-        f_tlbrs, f_valid, f_kps, f_kpv, seed)
+        spec, prev_state, cur_state, f_tlbrs, f_valid, f_kps, f_kpv, seed)
 
     pos = jnp.full(t_cap, f_cap, jnp.int32).at[forder].set(
         jnp.arange(f_cap, dtype=jnp.int32))
@@ -462,10 +460,9 @@ class MultiTracker:
         if self._dev_state is None or self._mirrors_dirty:
             self._upload_state()
 
-        prev_gray, prev_pyr, prev_bg = self.flow.device_state
         cur_state, new_state, info = _chained_track_kernel(
             self.kf_cfg, self.flow.spec, float(self.age_penalty),
-            prev_gray, prev_pyr, prev_bg, jnp.asarray(frame),
+            self.flow.device_state, jnp.asarray(frame),
             jnp.uint32(self.flow.next_seed()),
             *self._dev_state, self._trans_mat, self._acc_cov,
             self._frame_rect_dev)

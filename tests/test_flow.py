@@ -21,21 +21,17 @@ def test_lk_translation(rng):
     base, pad = textured(rng, 240, 320)
 
     def crop(dx, dy):
-        return base[pad + dy:pad + dy + 240, pad + dx:pad + dx + 320]
+        img = base[pad + dy:pad + dy + 240, pad + dx:pad + dx + 320]
+        return np.stack([img] * 3, -1).astype(np.uint8)
 
-    def pyr(img):
-        levels = [jnp.asarray(fk._resize_bilinear(jnp.asarray(img),
-                                                  (120, 160)))]
-        for _ in range(SPEC.max_level):
-            levels.append(fk._downsample2(levels[-1]))
-        return tuple(levels)
-
-    p0, p1 = pyr(crop(0, 0)), pyr(crop(5, 3))
+    s0 = fk.preprocess(SPEC, crop(0, 0))
+    s1 = fk.preprocess(SPEC, crop(5, 3))
     xs, ys = np.meshgrid(np.arange(40, 300, 40), np.arange(40, 220, 30))
     pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32) * 0.5
     valid = np.ones(len(pts), bool)
     cur, ok, err = jax.jit(fk.lk_pyramidal, static_argnames='spec')(
-        p0, p1, jnp.asarray(pts), jnp.asarray(valid), SPEC)
+        s0[0], s0[1], s1[0], s1[1], jnp.asarray(pts), jnp.asarray(valid),
+        SPEC)
     cur, ok = np.asarray(cur), np.asarray(ok)
     flow = (cur - pts) / 0.5   # back to full-res units
     assert ok.mean() > 0.8
