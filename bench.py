@@ -139,5 +139,73 @@ def main():
     }))
 
 
+def main_streams(n_streams: int):
+    """Aggregate-FPS serving benchmark (BASELINE config 5): n_streams
+    720p streams on one chip via the batched detector graph."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.ndimage as ndi
+    from fastmot_tpu.parallel.multi_mot import MultiStreamMOT
+    from fastmot_tpu.detector import MAX_DETS, make_detections
+
+    rng = np.random.default_rng(0)
+    pad = 16
+    base = ndi.gaussian_filter(
+        rng.uniform(0, 255, (SIZE[1] + 2 * pad, SIZE[0] + 2 * pad, 3))
+        .astype(np.float32), 1.5)
+
+    def frame_at(i):
+        dx = int(pad / 2 + pad / 2 * np.sin(i * 0.23))
+        dy = int(pad / 2 + pad / 2 * np.cos(i * 0.31))
+        return np.ascontiguousarray(
+            np.clip(base[pad + dy:pad + dy + SIZE[1],
+                         pad + dx:pad + dx + SIZE[0]], 0, 255)).astype(np.uint8)
+
+    mot = MultiStreamMOT(SIZE, n_streams, detector_frame_skip=5,
+                         class_ids=(1,),
+                         yolo_detector_cfg={'model': 'YOLOv4',
+                                            'min_aspect_ratio': 1.2})
+    real_post = mot.detector.postprocess
+    state = {'i': 0}
+
+    def patched():
+        real_post()
+        det = synth_detections(state['i'], rng)
+        return [det for _ in range(n_streams)]
+
+    mot.detector.postprocess = patched
+    mot.reset(1 / 30.0)
+
+    n_bench = 60
+    frames = [jnp.asarray(frame_at(i)) for i in range(12 + n_bench)]
+    jax.block_until_ready(frames)
+    for i in range(12):
+        state['i'] = i
+        mot.step([frames[i]] * n_streams)
+    t0 = time.perf_counter()
+    for i in range(n_bench):
+        state['i'] = i
+        mot.step([frames[12 + i]] * n_streams)
+    for trk in mot.trackers:
+        trk.sync()
+    elapsed = time.perf_counter() - t0
+    fps = n_bench * n_streams / elapsed
+    print(json.dumps({
+        'metric': f'aggregate_fps_{n_streams}_streams_yolov4_osnet_n5',
+        'value': round(fps, 2),
+        'unit': 'fps',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
 if __name__ == '__main__':
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--streams', type=int, default=0,
+                    help='aggregate multi-stream benchmark instead of '
+                         'single-stream')
+    args = ap.parse_args()
+    if args.streams > 1:
+        main_streams(args.streams)
+    else:
+        main()

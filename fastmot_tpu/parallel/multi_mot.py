@@ -85,7 +85,7 @@ class BatchedYOLODetector:
         self._pending = self._kernel(self._single.params, jnp.asarray(frames))
 
     def postprocess(self):
-        tlbr, label, conf, valid = (np.asarray(o) for o in self._pending)
+        tlbr, label, conf, valid = jax.device_get(self._pending)
         self._pending = None
         out = []
         for s in range(tlbr.shape[0]):
@@ -93,6 +93,12 @@ class BatchedYOLODetector:
             out.append(make_detections(tlbr[s][keep].astype(float),
                                        label[s][keep].astype(int),
                                        conf[s][keep].astype(float)))
+        return out
+
+    def postprocess_device_batch(self):
+        """Padded per-stream DEVICE arrays, no host sync."""
+        out = self._pending
+        self._pending = None
         return out
 
 
@@ -142,33 +148,42 @@ class MultiStreamMOT:
             for s, trk in enumerate(self.trackers):
                 trk.init(frames[s], all_dets[s])
         elif self.frame_count % self.detector_frame_skip == 0:
+            import jax
             with Profiler('preproc'):
-                self.detector.detect_async(np.stack(frames))
+                self.detector.detect_async(jnp.stack(
+                    [jnp.asarray(f) for f in frames]))
             with Profiler('detect'):
-                # flow for every stream while the batched detector runs
+                # chained flow+KF for every stream while the batched
+                # detector graph runs (all async dispatches)
                 for s, trk in enumerate(self.trackers):
-                    trk.compute_flow(frames[s])
-                all_dets = self.detector.postprocess()
+                    trk.track(frames[s])
+                tlbr_b, label_b, conf_b, valid_b = \
+                    self.detector.postprocess_device_batch()
             with Profiler('extract'):
-                # one shared OSNet batch over all streams' crops
-                counts = [len(d) for d in all_dets]
-                embeddings = [None] * self.n_streams
-                for s, trk in enumerate(self.trackers):
-                    if counts[s]:
-                        self.extractor.extract_async(frames[s],
-                                                     all_dets[s].tlbr)
-                        embeddings[s] = self.extractor.postprocess()
-                    else:
-                        embeddings[s] = np.empty(
-                            (0, self.extractor.feature_dim), np.float32)
-                for trk in self.trackers:
-                    trk.apply_kalman()
+                emb_dev = []
+                for s in range(self.n_streams):
+                    self.extractor.extract_async_device(
+                        jnp.asarray(frames[s]), tlbr_b[s], valid_b[s])
+                    emb_dev.append(self.extractor.postprocess_device())
             with Profiler('assoc'):
+                # phased association: the two readbacks are batched across
+                # ALL streams (2 x ~latency total, not 2 x per stream)
+                tokens = []
                 for s, trk in enumerate(self.trackers):
-                    trk.update(self.frame_count, all_dets[s], embeddings[s])
+                    det_dev = (tlbr_b[s], label_b[s], conf_b[s], valid_b[s])
+                    tokens.append(trk.update_device_begin(
+                        self.frame_count, det_dev, emb_dev[s]))
+                fetched = jax.device_get([t['fetch'] for t in tokens])
+                tokens2 = [trk.update_device_mid(t, f)
+                           for trk, t, f in zip(self.trackers, tokens,
+                                                fetched)]
+                fetched2 = jax.device_get([t2['fetch'] for t2 in tokens2])
+                for trk, t2, f2 in zip(self.trackers, tokens2, fetched2):
+                    trk.update_device_end(t2, np.asarray(f2))
         else:
             with Profiler('track'):
-                # async dispatch: the fused kernels for all streams overlap
+                # async dispatch: the chained kernels for all streams
+                # overlap on device
                 for s, trk in enumerate(self.trackers):
                     trk.track(frames[s])
         self.frame_count += 1

@@ -715,6 +715,16 @@ class MultiTracker:
 
     def update_device(self, frame_id, det_dev, emb_dev):
         """Device-array association: two batched readbacks total."""
+        token = self.update_device_begin(frame_id, det_dev, emb_dev)
+        fetched = jax.device_get(token['fetch'])
+        token2 = self.update_device_mid(token, fetched)
+        fetched2 = np.asarray(token2['fetch'])
+        self.update_device_end(token2, fetched2)
+
+    def update_device_begin(self, frame_id, det_dev, emb_dev):
+        """Phase A: dispatch the cascade kernel; returns a token whose
+        ``fetch`` pytree (gap infos + cascade decisions + det arrays) a
+        driver may batch into one device_get across many trackers."""
         host_emb = getattr(self, '_host_emb', None)
         self._host_emb = None
         if self._dev_state is None or self._mirrors_dirty:
@@ -768,10 +778,33 @@ class MultiTracker:
             hist_sum, hist_count, jnp.asarray(h_labels),
             jnp.asarray(h_valid))
 
-        # readback 1: gap-frame infos + cascade decisions + det arrays
         pending_infos = [info for _, info in self._pending]
-        fetched = jax.device_get(
-            (pending_infos, out, d_tlbrs_dev, d_labels_dev, d_conf_dev))
+        return {
+            'frame_id': frame_id,
+            'fetch': (pending_infos, out, d_tlbrs_dev, d_labels_dev,
+                      d_conf_dev),
+            'det_dev': det_dev,
+            'emb_dev': emb_dev,
+            'host_emb': host_emb,
+            'hist_of_slot': hist_of_slot,
+            'state': (means, covs, tlbrs, dev_valid, dv_ages, dv_inl,
+                      kps, kpv, feat_sum, feat_count),
+            'hist_store': (hist_sum, hist_count),
+        }
+
+    def update_device_mid(self, token, fetched):
+        """Phase B: consume phase-A data, make the association decisions,
+        dispatch the commit kernel; ``token['fetch']`` of the result is
+        the commit info vector for the final batched readback."""
+        frame_id = token['frame_id']
+        host_emb = token['host_emb']
+        hist_of_slot = token['hist_of_slot']
+        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = token['det_dev']
+        emb_dev = token['emb_dev']
+        (means, covs, tlbrs, dev_valid, dv_ages, dv_inl, kps, kpv,
+         feat_sum, feat_count) = token['state']
+        hist_sum, hist_count = token['hist_store']
+
         infos, cascade_out, d_tlbrs, d_labels, d_conf = fetched
         self.sync(infos=infos)
         occluded, col4row, u_det_conf, reid_c4r, rect_c4r = cascade_out
@@ -921,7 +954,28 @@ class MultiTracker:
             jnp.asarray(new_ages), jnp.asarray(new_valid),
             self._frame_rect_dev)
         self._dev_state = new_state
-        flat = np.asarray(commit_info)
+        return {
+            'fetch': commit_info,
+            'frame_id': frame_id,
+            'host_emb': host_emb,
+            'slot_ids': slot_ids,
+            'matches': matches,
+            'occluded': occluded,
+            'feat_ok': feat_ok,
+            'reinstated': reinstated,
+            'new_tracks': new_tracks,
+        }
+
+    def update_device_end(self, token, flat):
+        """Phase C: apply the commit results to the host Track mirrors."""
+        frame_id = token['frame_id']
+        host_emb = token['host_emb']
+        slot_ids = token['slot_ids']
+        matches = token['matches']
+        occluded = token['occluded']
+        feat_ok = token['feat_ok']
+        reinstated = token['reinstated']
+        new_tracks = token['new_tracks']
         t = MAX_TRACKS
         next_tlbrs = flat[:t * 4].reshape(t, 4).astype(np.float64)
         out_of_frame = flat[t * 4:t * 5] > 0.5
