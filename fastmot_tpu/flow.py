@@ -102,10 +102,12 @@ class Flow:
 
     def init(self, frame):
         """Preprocess the first frame (flow.py:121-133)."""
+        import jax
         self._prev_pyr = fk.preprocess(self._spec, frame)
         self.bg_keypoints = np.empty((0, 2), np.float32)
         self.prev_bg_keypoints = np.empty((0, 2), np.float32)
         self._frame_count = 0
+        self.seed_dev = jax.device_put(np.uint32(0))
 
     @property
     def spec(self):
@@ -117,11 +119,13 @@ class Flow:
         the tracker's fused track-frame kernel."""
         return self._prev_pyr
 
-    def advance(self, cur_state, failed: bool = False):
+    def advance(self, cur_state, seed_dev=None, failed: bool = False):
         """Adopt the current frame's preprocessed state (called by the
         fused path after it ran the flow in-kernel)."""
         self._prev_pyr = cur_state
         self._frame_count += 1
+        if seed_dev is not None:
+            self.seed_dev = seed_dev
         if failed:
             self.bg_keypoints = np.empty((0, 2), np.float32)
 

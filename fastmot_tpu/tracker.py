@@ -157,13 +157,14 @@ def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
 
     new_state = (means, covs, new_tlbrs, new_valid, ages, new_inl,
                  kps_new, kpv_new, feat_sum, feat_count)
+    next_seed = seed + jnp.uint32(1)   # RNG seed stays device-resident
     # small flat info vector (~10KB): one transfer, batched with others
     info = jnp.concatenate([
         a.astype(jnp.float32).reshape(-1) for a in (
             h_ok.reshape(-1), h_mat, next_tlbrs, lost, has_klt, klt_tlbrs,
             new_inl, bg_prev, bg_cur, bg_inlier,
             est_valid[slot] & in_flow)])
-    return cur_state, new_state, info
+    return cur_state, new_state, info, next_seed
 
 
 def _normalized_feats(feat_sum, feat_count):
@@ -460,14 +461,14 @@ class MultiTracker:
         if self._dev_state is None or self._mirrors_dirty:
             self._upload_state()
 
-        cur_state, new_state, info = _chained_track_kernel(
+        cur_state, new_state, info, next_seed = _chained_track_kernel(
             self.kf_cfg, self.flow.spec, float(self.age_penalty),
             self.flow.device_state, jnp.asarray(frame),
-            jnp.uint32(self.flow.next_seed()),
+            self.flow.seed_dev,
             *self._dev_state, self._trans_mat, self._acc_cov,
             self._frame_rect_dev)
         self._dev_state = new_state
-        self.flow.advance(cur_state)
+        self.flow.advance(cur_state, next_seed)
         self._pending.append((list(self._slot_ids), info))
 
     def sync(self, infos=None):
@@ -765,18 +766,21 @@ class MultiTracker:
 
         n_depth = (self.max_age + 2) // 2
         fill_val = min(self.max_assoc_cost + 0.1, 1.0)
+        # ONE batched host->device transfer for all the small mask arrays
+        # (each separate upload pays the platform's fixed transfer latency)
+        (t_labels_d, t_depth_d, t_confirmed_d, t_active_d, t_live_d,
+         h_labels_d, h_valid_d) = jax.device_put(
+            (t_labels, t_depth, t_confirmed, t_active, t_live,
+             h_labels, h_valid))
         out = _cascade_kernel(
             self.kf_cfg, self.metric, n_depth, self.motion_weight,
             self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
             self.occlusion_thresh, self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh,
             means, covs, tlbrs, dev_valid, feat_sum, feat_count,
-            jnp.asarray(t_labels), jnp.asarray(t_depth),
-            jnp.asarray(t_confirmed), jnp.asarray(t_active),
-            jnp.asarray(t_live),
+            t_labels_d, t_depth_d, t_confirmed_d, t_active_d, t_live_d,
             d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            hist_sum, hist_count, jnp.asarray(h_labels),
-            jnp.asarray(h_valid))
+            hist_sum, hist_count, h_labels_d, h_valid_d)
 
         pending_infos = [info for _, info in self._pending]
         return {
@@ -944,14 +948,16 @@ class MultiTracker:
             LOGGER.debug(f"{'Detected:':<14}{new_trk}")
 
         # commit: one dispatch + readback 2
+        (merge_src_d, hist_dst_d, reinstate_hist_d, match_det_d,
+         feat_ok_d, create_det_d, new_ages_d, new_valid_d) = jax.device_put(
+            (merge_src, hist_dst, reinstate_hist, match_det,
+             feat_ok, create_det, new_ages, new_valid))
         new_state, self._hist_store, commit_info = _commit_kernel(
             self.kf_cfg, means, covs, tlbrs, dev_valid, dv_ages, dv_inl,
             kps, kpv, feat_sum, feat_count, hist_sum, hist_count,
             d_tlbrs_dev, emb_dev,
-            jnp.asarray(merge_src), jnp.asarray(hist_dst),
-            jnp.asarray(reinstate_hist), jnp.asarray(match_det),
-            jnp.asarray(feat_ok), jnp.asarray(create_det),
-            jnp.asarray(new_ages), jnp.asarray(new_valid),
+            merge_src_d, hist_dst_d, reinstate_hist_d, match_det_d,
+            feat_ok_d, create_det_d, new_ages_d, new_valid_d,
             self._frame_rect_dev)
         self._dev_state = new_state
         return {
