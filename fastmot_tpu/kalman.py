@@ -25,10 +25,26 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _f32_matmul(fn):
+    """Pin float32 matmul precision inside ``fn``.
+
+    TPU matmuls default to bfloat16 inputs; the KF covariance algebra
+    (8x8 / 4x4 systems) silently loses ~3 decimal digits at that
+    precision — enough to corrupt the Mahalanobis gate. These matrices
+    are tiny, so full float32 passes cost nothing.
+    """
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision('float32'):
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 class MeasType(enum.Enum):
@@ -105,6 +121,7 @@ def create(cfg: KalmanConfig, det_tlbr: jax.Array) -> tuple[jax.Array, jax.Array
     return mean.astype(jnp.float32), cov
 
 
+@_f32_matmul
 def predict(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
             trans_mat: jax.Array, acc_cov: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Prediction step with size-scaled process noise (kalman_filter.py:308-319)."""
@@ -148,6 +165,7 @@ def project(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
     return proj_mean, proj_cov
 
 
+@_f32_matmul
 def update(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
            measurement: jax.Array, meas_type_flow: jax.Array,
            multiplier: jax.Array = jnp.float32(1.0)) -> tuple[jax.Array, jax.Array]:
@@ -162,6 +180,7 @@ def update(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
     return new_mean, new_cov
 
 
+@_f32_matmul
 def maha_distance(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
                   measurements: jax.Array) -> jax.Array:
     """Squared Mahalanobis distance of N measurements to one state's
@@ -200,6 +219,7 @@ def warp_mean_fn(mean: jax.Array, h_mat: jax.Array) -> jax.Array:
     return jnp.concatenate([tl2, br2, vtl2, vbr2])
 
 
+@_f32_matmul
 def warp(mean: jax.Array, cov: jax.Array,
          h_mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Warp state distribution by a homography; covariance via the exact

@@ -73,8 +73,13 @@ _DN_ACTS = {
 
 class DarknetModule(nn.Module):
     """Executes a parsed Darknet cfg. Returns the list of raw yolo-head
-    feature maps (NHWC), in cfg order."""
+    feature maps (NHWC), in cfg order.
+
+    ``precision`` pins the conv matmul precision ('highest' for float32
+    oracle/parity checks; None = platform default, bf16 passes on TPU).
+    """
     sections: tuple   # tuple of (frozen) section dicts; net section first
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -93,7 +98,8 @@ class DarknetModule(nn.Module):
                 act = sec.get('activation', 'linear')
                 y = nn.Conv(filters, (size, size), (stride, stride),
                             padding=pad, feature_group_count=groups,
-                            use_bias=not bn, name=f'conv{i}')(x)
+                            use_bias=not bn, name=f'conv{i}',
+                            precision=self.precision)(x)
                 if bn:
                     y = nn.BatchNorm(use_running_average=True,
                                      name=f'bn{i}', dtype=jnp.float32)(y)

@@ -28,14 +28,18 @@ def euclidean_dist(xa: jax.Array, xb: jax.Array) -> jax.Array:
     """[N, M] euclidean distances via the |a|^2 + |b|^2 - 2ab expansion."""
     a2 = jnp.sum(xa * xa, axis=-1)[:, None]
     b2 = jnp.sum(xb * xb, axis=-1)[None, :]
-    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU bf16 matmul passes lose ~3 digits, which the
+    # |a|^2 + |b|^2 - 2ab cancellation amplifies into visible distance error
+    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     return jnp.sqrt(sq)
 
 
 def cosine_dist(xa: jax.Array, xb: jax.Array) -> jax.Array:
     """[N, M] cosine distances: 1 - a.b / (|a||b|) (distance.py:66-87)."""
-    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32)
+    ab = jnp.dot(xa, xb.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     na = jnp.linalg.norm(xa, axis=-1)[:, None]
     nb = jnp.linalg.norm(xb, axis=-1)[None, :]
     denom = na * nb

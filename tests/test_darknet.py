@@ -175,7 +175,10 @@ anchors=10,14
 classes=-1
 """
     secs = parse_cfg(cfg)
-    module = DarknetModule(sections=tuple(_hashable(s) for s in secs))
+    # 'highest' pins float32 conv passes so the oracle comparison is exact
+    # on TPU (default bf16 matmul precision fails the 1e-5 tolerance)
+    module = DarknetModule(sections=tuple(_hashable(s) for s in secs),
+                           precision='highest')
     x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
     params = module.init(jax.random.PRNGKey(1), jnp.asarray(x))
     heads = module.apply(params, jnp.asarray(x))
