@@ -59,7 +59,8 @@ def parse_cfg(text: str) -> list[dict]:
 
 
 def _aslist(v):
-    return v if isinstance(v, list) else [v]
+    # flax module attributes deep-convert lists to tuples — accept both
+    return list(v) if isinstance(v, (list, tuple)) else [v]
 
 
 _DN_ACTS = {
@@ -77,9 +78,12 @@ class DarknetModule(nn.Module):
 
     ``precision`` pins the conv matmul precision ('highest' for float32
     oracle/parity checks; None = platform default, bf16 passes on TPU).
+    ``dtype`` sets the conv compute dtype (bfloat16 for MXU throughput;
+    BatchNorm and the yolo head outputs stay float32).
     """
     sections: tuple   # tuple of (frozen) section dicts; net section first
     precision: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +103,7 @@ class DarknetModule(nn.Module):
                 y = nn.Conv(filters, (size, size), (stride, stride),
                             padding=pad, feature_group_count=groups,
                             use_bias=not bn, name=f'conv{i}',
-                            precision=self.precision)(x)
+                            precision=self.precision, dtype=self.dtype)(x)
                 if bn:
                     y = nn.BatchNorm(use_running_average=True,
                                      name=f'bn{i}', dtype=jnp.float32)(y)
@@ -129,7 +133,7 @@ class DarknetModule(nn.Module):
                 x = nn.max_pool(x, (size, size), (stride, stride),
                                 padding='SAME')
             elif t == 'yolo':
-                heads.append(x)
+                heads.append(x.astype(jnp.float32))
                 # head output is not an input to later layers' compute;
                 # darknet keeps the pre-yolo tensor as the layer output
             else:
@@ -230,6 +234,30 @@ def load_darknet_weights(sections, params, weights_path):
     if bstats:
         out['batch_stats'] = bstats
     return jax.tree_util.tree_map(jnp.asarray, out), header
+
+
+def count_weight_floats(sections) -> int:
+    """Number of float32 values a Darknet .weights file holds for this cfg
+    (bn: 4 vectors + kernel; else bias + kernel) — the exact layout
+    load_darknet_weights consumes. Matches upstream released files
+    (yolov4: 64,429,405; yolov3: 62,001,757 — tests/test_cfgs.py)."""
+    layers = [s for s in sections if s['type'] != 'net']
+    prev_c, channels, total = 3, [], 0
+    for i, sec in enumerate(layers):
+        t = sec['type']
+        if t == 'convolutional':
+            f = int(sec['filters'])
+            k = int(sec.get('size', 1))
+            g = int(sec.get('groups', 1))
+            bn = int(sec.get('batch_normalize', 0))
+            total += 4 * f if bn else f
+            total += f * (prev_c // g) * k * k
+            prev_c = f
+        elif t == 'route':
+            idxs = [i + l if l < 0 else l for l in _aslist(sec['layers'])]
+            prev_c = sum(channels[j] for j in idxs) // int(sec.get('groups', 1))
+        channels.append(prev_c)
+    return total
 
 
 def yolo_from_cfg(cfg_path, weights_path=None):

@@ -80,14 +80,17 @@ class LiteConv(nn.Module):
 
 
 class AggregationGate(nn.Module):
-    """Unified aggregation gate: channel attention shared by all streams."""
+    """Unified aggregation gate: channel attention shared by all streams.
+
+    Hidden width is exactly ``features // reduction`` (torchreid
+    ChannelGate) so converted checkpoints map 1:1."""
     features: int
     reduction: int = 16
 
     @nn.compact
     def __call__(self, x):
         v = jnp.mean(x, axis=(1, 2))
-        v = nn.Dense(max(self.features // self.reduction, 4),
+        v = nn.Dense(max(self.features // self.reduction, 1),
                      dtype=jnp.float32)(v)
         v = nn.relu(v)
         v = nn.Dense(self.features, dtype=jnp.float32)(v)
@@ -121,7 +124,13 @@ class OSBlock(nn.Module):
 
 
 class OSNet(nn.Module):
-    """OSNet backbone + embedding head."""
+    """OSNet backbone + embedding head.
+
+    Layer sequence mirrors torchreid's ``osnet.py`` exactly (conv1 7x7/2,
+    maxpool, three 2-block stages with 1x1+avgpool transitions, conv5 1x1
+    at the last stage width, then fc: Linear -> BN -> ReLU to
+    ``feature_dim``) so full checkpoints convert via the structural key
+    map in ``scripts/convert_weights.py`` (reference reid.py:95-109)."""
     channels: tuple[int, ...] = (16, 64, 96, 128)  # x0.25 multiplier
     feature_dim: int = 512
 
@@ -136,11 +145,11 @@ class OSNet(nn.Module):
             if stage < len(c) - 2:
                 x = ConvBNReLU(ch, (1, 1))(x)
                 x = nn.avg_pool(x, (2, 2), (2, 2))
-        x = ConvBNReLU(self.feature_dim, (1, 1))(x)
+        x = ConvBNReLU(c[-1], (1, 1))(x)      # conv5
         x = jnp.mean(x, axis=(1, 2))          # global average pool
         x = nn.Dense(self.feature_dim, dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        return x.astype(jnp.float32)
+        return nn.relu(x).astype(jnp.float32)
 
 
 @register_reid

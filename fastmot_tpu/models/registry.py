@@ -70,20 +70,46 @@ class _ModelBase:
         return module, params
 
 
-def load_npz(params, path):
-    """Overlay a flat .npz of named arrays onto a parameter pytree."""
+def load_npz(params, path, strict: bool = True):
+    """Overlay a flat .npz of named arrays onto a parameter pytree.
+
+    ``strict`` (default) raises if any npz key does not match a parameter
+    path or any parameter is left uncovered — a silently partial overlay
+    is indistinguishable from loaded weights and must never pass as one.
+    """
     flat = dict(np.load(path))
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
     new_leaves = []
+    used = set()
+    missing = []
     for key_path, leaf in leaves:
         name = '/'.join(str(getattr(k, 'key', k)) for k in key_path)
         if name in flat:
             arr = jnp.asarray(flat[name], dtype=leaf.dtype)
-            assert arr.shape == leaf.shape, (name, arr.shape, leaf.shape)
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f'{path}: shape mismatch for {name}: '
+                    f'{arr.shape} vs expected {leaf.shape}')
             new_leaves.append(arr)
+            used.add(name)
         else:
+            missing.append(name)
             new_leaves.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, [l for l in new_leaves])
+    unmatched = sorted(set(flat) - used)
+    if strict and (unmatched or missing):
+        raise ValueError(
+            f'{path} does not cover the parameter tree: '
+            f'{len(unmatched)} unmatched npz keys '
+            f'(e.g. {unmatched[:3]}), {len(missing)} uncovered params '
+            f'(e.g. {missing[:3]}). Regenerate with '
+            f'scripts/convert_weights.py, or pass strict=False for a '
+            f'deliberate partial overlay.')
+    if unmatched:
+        LOGGER.warning('%s: %d npz keys unmatched', path, len(unmatched))
+    if missing:
+        LOGGER.warning('%s: %d params left at init values', path,
+                       len(missing))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def save_npz(params, path):

@@ -33,6 +33,14 @@ import jax.numpy as jnp
 from .registry import YOLOModel, register_yolo
 
 
+def _darknet_build(cfg_text: str):
+    """Build a DarknetModule from generated cfg text (bf16 conv compute)."""
+    from .darknet import DarknetModule, _hashable, parse_cfg
+    sections = parse_cfg(cfg_text)
+    return DarknetModule(sections=tuple(_hashable(s) for s in sections),
+                         dtype=jnp.bfloat16)
+
+
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
@@ -126,59 +134,6 @@ class ConvSet(nn.Module):
         return ConvBN(self.features, 1, act=self.act)(x)
 
 
-class YOLOv4Net(nn.Module):
-    """Classic YOLOv4: CSPDarknet53 (mish) + SPP + PANet (leaky), three
-    heads at strides 8/16/32."""
-    num_classes: int
-    anchors_per_head: int = 3
-    width: int = 32
-    depths: Sequence[int] = (1, 2, 8, 8, 4)
-
-    @nn.compact
-    def __call__(self, x):
-        w = self.width
-        d = self.depths
-        x = ConvBN(w, 3, act='mish')(x)
-        x = CSPStage(w * 2, d[0], act='mish', first=True)(x)
-        x = CSPStage(w * 4, d[1], act='mish')(x)
-        p3 = CSPStage(w * 8, d[2], act='mish')(x)       # stride 8
-        p4 = CSPStage(w * 16, d[3], act='mish')(p3)     # stride 16
-        p5 = CSPStage(w * 32, d[4], act='mish')(p4)     # stride 32
-
-        # SPP on the deepest level
-        y5 = ConvBN(w * 16, 1, act='leaky')(p5)
-        y5 = ConvBN(w * 32, 3, act='leaky')(y5)
-        y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-        y5 = SPP()(y5)
-        y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-        y5 = ConvBN(w * 32, 3, act='leaky')(y5)
-        y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-
-        # top-down path
-        u4 = _upsample2(ConvBN(w * 8, 1, act='leaky')(y5))
-        l4 = ConvBN(w * 8, 1, act='leaky')(p4)
-        y4 = ConvSet(w * 8, 'leaky')(jnp.concatenate([l4, u4], axis=-1))
-
-        u3 = _upsample2(ConvBN(w * 4, 1, act='leaky')(y4))
-        l3 = ConvBN(w * 4, 1, act='leaky')(p3)
-        y3 = ConvSet(w * 4, 'leaky')(jnp.concatenate([l3, u3], axis=-1))
-
-        # bottom-up path
-        d4 = ConvBN(w * 8, 3, 2, act='leaky')(y3)
-        y4 = ConvSet(w * 8, 'leaky')(jnp.concatenate([d4, y4], axis=-1))
-        d5 = ConvBN(w * 16, 3, 2, act='leaky')(y4)
-        y5 = ConvSet(w * 16, 'leaky')(jnp.concatenate([d5, y5], axis=-1))
-
-        no = self.anchors_per_head * (5 + self.num_classes)
-        h3 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 8, 3, act='leaky')(y3))
-        h4 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 16, 3, act='leaky')(y4))
-        h5 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 32, 3, act='leaky')(y5))
-        return [h3, h4, h5]  # strides 8, 16, 32 (LAYER_FACTORS order)
-
-
 class ScaledYOLOv4Net(nn.Module):
     """Scaled-YOLOv4 (CSP / P5 / P6 family): fully CSP-ified backbone and
     PAN neck, single activation throughout, optional 4th head."""
@@ -235,103 +190,6 @@ class ScaledYOLOv4Net(nn.Module):
             h = nn.Conv(no, (1, 1), dtype=jnp.float32)(h)
             heads.append(jax.nn.sigmoid(h))  # new_coords: logistic applied
         return heads
-
-
-class YOLOv3Net(nn.Module):
-    """YOLOv3: Darknet53 backbone (leaky) + FPN-style neck, 3 heads
-    ordered stride 32, 16, 8 (matching the reference's LAYER_FACTORS)."""
-    num_classes: int
-    anchors_per_head: int = 3
-    spp: bool = False
-    width: int = 32
-
-    @nn.compact
-    def __call__(self, x):
-        w = self.width
-
-        def dn_stage(x, feats, blocks):
-            x = ConvBN(feats, 3, 2, act='leaky')(x)
-            for _ in range(blocks):
-                x = ResBlock(feats, feats // 2, act='leaky')(x)
-            return x
-
-        x = ConvBN(w, 3, act='leaky')(x)
-        x = dn_stage(x, w * 2, 1)
-        x = dn_stage(x, w * 4, 2)
-        p3 = dn_stage(x, w * 8, 8)
-        p4 = dn_stage(p3, w * 16, 8)
-        p5 = dn_stage(p4, w * 32, 4)
-
-        y5 = ConvBN(w * 16, 1, act='leaky')(p5)
-        y5 = ConvBN(w * 32, 3, act='leaky')(y5)
-        y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-        if self.spp:
-            y5 = SPP()(y5)
-            y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-        y5 = ConvBN(w * 32, 3, act='leaky')(y5)
-        y5 = ConvBN(w * 16, 1, act='leaky')(y5)
-
-        u4 = _upsample2(ConvBN(w * 8, 1, act='leaky')(y5))
-        y4 = ConvSet(w * 8, 'leaky')(jnp.concatenate([u4, p4], axis=-1))
-        u3 = _upsample2(ConvBN(w * 4, 1, act='leaky')(y4))
-        y3 = ConvSet(w * 4, 'leaky')(jnp.concatenate([u3, p3], axis=-1))
-
-        no = self.anchors_per_head * (5 + self.num_classes)
-        h5 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 32, 3, act='leaky')(y5))
-        h4 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 16, 3, act='leaky')(y4))
-        h3 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(w * 8, 3, act='leaky')(y3))
-        return [h5, h4, h3]  # strides 32, 16, 8
-
-
-class TinyNet(nn.Module):
-    """YOLOv3/v4-tiny: small backbone, two heads (strides per spec)."""
-    num_classes: int
-    anchors_per_head: int = 3
-    csp: bool = True  # v4-tiny uses CSP blocks
-
-    @nn.compact
-    def __call__(self, x):
-        act = 'leaky'
-
-        def tiny_csp(x, feats):
-            x = ConvBN(feats, 3, act=act)(x)
-            half = feats // 2
-            grp = x[..., half:]
-            y = ConvBN(half, 3, act=act)(grp)
-            y2 = ConvBN(half, 3, act=act)(y)
-            y3 = ConvBN(feats, 1, act=act)(jnp.concatenate([y2, y], axis=-1))
-            out = jnp.concatenate([x, y3], axis=-1)
-            return nn.max_pool(out, (2, 2), (2, 2)), y3
-
-        if self.csp:
-            x = ConvBN(32, 3, 2, act=act)(x)
-            x = ConvBN(64, 3, 2, act=act)(x)
-            x, _ = tiny_csp(x, 64)
-            x, _ = tiny_csp(x, 128)
-            x, route = tiny_csp(x, 256)
-            x = ConvBN(512, 3, act=act)(x)
-        else:
-            feats = 16
-            for i in range(5):
-                x = ConvBN(feats * (2 ** i), 3, act=act)(x)
-                x = nn.max_pool(x, (2, 2), (2, 2))
-            route = x
-            x = ConvBN(256, 3, act=act)(x)
-            x = nn.max_pool(x, (2, 2), (2, 2), padding='SAME')
-            x = ConvBN(512, 3, act=act)(x)
-
-        y1 = ConvBN(256, 1, act=act)(x)
-        no = self.anchors_per_head * (5 + self.num_classes)
-        h1 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(512, 3, act=act)(y1))
-        u = _upsample2(ConvBN(128, 1, act=act)(y1))
-        y2 = jnp.concatenate([u, route], axis=-1)
-        h2 = nn.Conv(no, (1, 1), dtype=jnp.float32)(
-            ConvBN(256, 3, act=act)(y2))
-        return [h1, h2]  # strides 32, 16 (LAYER_FACTORS order)
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +259,14 @@ class YOLOv4(YOLOModel):
 
     @classmethod
     def build(cls):
-        return YOLOv4Net(num_classes=cls.NUM_CLASSES)
+        """Darknet-backed: the generated yolov4.cfg layer sequence, so
+        CrowdHuman yolov4.weights load natively (scripts/convert_weights.py,
+        reference scripts/yolo2onnx.py:865-919 documents the same layout)."""
+        from .cfgs import yolov4_cfg
+        c, h, w = cls.INPUT_SHAPE
+        return _darknet_build(yolov4_cfg(
+            cls.NUM_CLASSES, h, w,
+            [a for head in cls.ANCHORS for a in head], cls.SCALES))
 
 
 class _ScaledBase(YOLOModel):
@@ -501,9 +366,16 @@ class YOLOv4Tiny(YOLOModel):
     ANCHORS = [[81, 82, 135, 169, 344, 319],
                [23, 27, 37, 58, 81, 82]]
 
+    # upstream yolov4-tiny.cfg anchor table; masks (3,4,5) and (1,2,3)
+    # reproduce the per-head ANCHORS above, (81, 82) shared by both heads
+    FULL_ANCHORS = [10, 14, 23, 27, 37, 58, 81, 82, 135, 169, 344, 319]
+
     @classmethod
     def build(cls):
-        return TinyNet(num_classes=cls.NUM_CLASSES, csp=True)
+        from .cfgs import yolov4_tiny_cfg
+        c, h, w = cls.INPUT_SHAPE
+        return _darknet_build(yolov4_tiny_cfg(
+            cls.NUM_CLASSES, h, w, cls.FULL_ANCHORS, cls.SCALES))
 
 
 @register_yolo
@@ -520,7 +392,12 @@ class YOLOv3(YOLOModel):
 
     @classmethod
     def build(cls):
-        return YOLOv3Net(num_classes=cls.NUM_CLASSES)
+        from .cfgs import yolov3_cfg
+        c, h, w = cls.INPUT_SHAPE
+        # heads come stride 32, 16, 8 (LAYER_FACTORS order), so the flat
+        # anchor table is the per-head lists reversed
+        flat = [a for head in reversed(cls.ANCHORS) for a in head]
+        return _darknet_build(yolov3_cfg(cls.NUM_CLASSES, h, w, flat))
 
 
 @register_yolo
@@ -537,7 +414,11 @@ class YOLOv3SPP(YOLOModel):
 
     @classmethod
     def build(cls):
-        return YOLOv3Net(num_classes=cls.NUM_CLASSES, spp=True)
+        from .cfgs import yolov3_cfg
+        c, h, w = cls.INPUT_SHAPE
+        flat = [a for head in reversed(cls.ANCHORS) for a in head]
+        return _darknet_build(yolov3_cfg(cls.NUM_CLASSES, h, w, flat,
+                                         spp=True))
 
 
 @register_yolo
@@ -553,4 +434,7 @@ class YOLOv3Tiny(YOLOModel):
 
     @classmethod
     def build(cls):
-        return TinyNet(num_classes=cls.NUM_CLASSES, csp=False)
+        from .cfgs import yolov3_tiny_cfg
+        c, h, w = cls.INPUT_SHAPE
+        flat = [a for head in reversed(cls.ANCHORS) for a in head]
+        return _darknet_build(yolov3_tiny_cfg(cls.NUM_CLASSES, h, w, flat))

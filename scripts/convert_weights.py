@@ -5,18 +5,23 @@ Capability reference: the reference's offline conversion tooling
 (scripts/yolo2onnx.py Darknet->ONNX; FastMOT ships OSNet/SSD weights via
 gdown, scripts/download_models.sh). Here:
 
-  * Darknet YOLO: no conversion needed at all — ``models/darknet.py`` runs
-    cfg+weights directly. This script can still snapshot those parameters
-    into the registry's .npz cache so the registered model classes
-    (models/yolo.py) pick them up by name.
-  * OSNet (torchreid checkpoints, .pth): torch (CPU) state_dict -> flax
-    parameter tree by traversal-order mapping of conv/bn/fc tensors.
+  * Darknet YOLO: the registered zoo models (models/yolo.py) ARE
+    DarknetModules built from generated upstream-layout cfgs, so a
+    released ``.weights`` file loads in traversal order and snapshots
+    into the registry's .npz cache with exactly matching keys. Every
+    conversion is verified by a strict ``load_npz`` into a freshly built
+    registered model before the file is declared good.
+  * OSNet (torchreid checkpoints, .pth): structural key map
+    (models/osnet_convert.py) covering conv/depthwise/bn/gate/fc —
+    the complete eval-time tensor set.
 
 Usage:
-  python scripts/convert_weights.py darknet --cfg yolov4.cfg \
-      --weights yolov4.weights --out fastmot_tpu/models/weights/YOLOv4.npz
+  python scripts/convert_weights.py darknet --model YOLOv4 \
+      --weights yolov4-crowdhuman.weights
+  python scripts/convert_weights.py darknet --cfg custom.cfg \
+      --weights custom.weights --out custom.npz
   python scripts/convert_weights.py osnet --ckpt osnet_x0_25.pth \
-      --model OSNet025 --out fastmot_tpu/models/weights/OSNet025.npz
+      --model OSNet025
 """
 import argparse
 import sys
@@ -27,101 +32,83 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np
 
 
+def _default_out(name):
+    from fastmot_tpu.models.registry import WEIGHTS_DIR
+    return WEIGHTS_DIR / f'{name}.npz'
+
+
 def convert_darknet(args):
-    from fastmot_tpu.models.darknet import parse_cfg, yolo_from_cfg
-    from fastmot_tpu.models.registry import save_npz
+    import jax
+    from fastmot_tpu.models import registry
+    from fastmot_tpu.models.darknet import load_darknet_weights
+    from fastmot_tpu.models.registry import load_npz, save_npz
 
-    module, params, meta = yolo_from_cfg(args.cfg, args.weights)
-    save_npz(params, args.out)
-    print(f'wrote {args.out} ({meta["num_classes"]} classes, '
-          f'input {meta["input_shape"]})')
-
-
-def _torch_tensors_in_order(state_dict):
-    """Group torchreid OSNet tensors by layer: returns lists of
-    (kind, tensors) where kind is 'conv'/'bn'/'fc' in traversal order."""
-    groups = []
-    items = list(state_dict.items())
-    i = 0
-    while i < len(items):
-        name, t = items[i]
-        if name.endswith('.weight') and t.ndim == 4:
-            groups.append(('conv', [np.asarray(t)]))
-            i += 1
-        elif name.endswith('.weight') and t.ndim == 2:
-            # linear: weight + optional bias
-            tensors = [np.asarray(t)]
-            if i + 1 < len(items) and items[i + 1][0].endswith('.bias'):
-                tensors.append(np.asarray(items[i + 1][1]))
-                i += 1
-            groups.append(('fc', tensors))
-            i += 1
-        elif name.endswith('.weight') and t.ndim == 1:
-            # batchnorm: weight, bias, running_mean, running_var
-            tensors = [np.asarray(items[i + k][1]) for k in range(4)]
-            groups.append(('bn', tensors))
-            i += 4
-            # skip num_batches_tracked
-            if i < len(items) and 'num_batches' in items[i][0]:
-                i += 1
-        else:
-            i += 1
-    return groups
+    if args.model:
+        cls = registry.YOLOModel.get_model(args.model)
+        module = cls.build()
+        c, h, w = cls.INPUT_SHAPE
+        out = Path(args.out) if args.out else _default_out(args.model)
+    else:
+        assert args.cfg, 'need --model or --cfg'
+        from fastmot_tpu.models.darknet import yolo_from_cfg
+        module, _, meta = yolo_from_cfg(args.cfg)
+        c, h, w = meta['input_shape']
+        out = Path(args.out or 'darknet.npz')
+    import jax.numpy as jnp
+    # fully convolutional: init at a small spatial size for speed
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, c), jnp.float32))
+    params, header = load_darknet_weights(module.sections, params,
+                                          args.weights)
+    save_npz(params, out)
+    # verification: strict reload into a fresh tree must cover everything
+    fresh = module.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 64, 64, c), jnp.float32))
+    load_npz(fresh, out, strict=True)
+    print(f'wrote {out} (darknet header {header[:3].tolist()}, '
+          f'verified strict reload)')
 
 
 def convert_osnet(args):
     import torch
     import jax
+    import jax.numpy as jnp
     from fastmot_tpu.models import registry
-    from fastmot_tpu.models.registry import save_npz
+    from fastmot_tpu.models.osnet_convert import convert_state_dict
+    from fastmot_tpu.models.registry import load_npz
 
     cls = registry.ReIDModel.get_model(args.model)
-    module, params = cls.init_params()
+    module = cls.build()
+    c, h, w = cls.INPUT_SHAPE
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, c), jnp.float32))
 
-    ckpt = torch.load(args.ckpt, map_location='cpu')
+    ckpt = torch.load(args.ckpt, map_location='cpu', weights_only=False)
     state = ckpt.get('state_dict', ckpt)
-    state = {k.replace('module.', ''): v for k, v in state.items()}
-    torch_groups = _torch_tensors_in_order(state)
-
-    # flax side: flatten params in traversal order, grouping conv kernels,
-    # bn (scale, bias, mean, var), dense (kernel, bias)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    named = ['/'.join(str(getattr(k, 'key', k)) for k in kp) for kp, _ in flat]
-    leaves = [l for _, l in flat]
-
-    out = {}
-    ti = 0
-    for name, leaf in zip(named, leaves):
-        arr = np.asarray(leaf)
-        if name.endswith('/kernel') and arr.ndim == 4:
-            while ti < len(torch_groups) and torch_groups[ti][0] != 'conv':
-                ti += 1
-            if ti >= len(torch_groups):
-                break
-            w = torch_groups[ti][1][0]          # OIHW
-            out[name] = np.transpose(w, (2, 3, 1, 0))
-            ti += 1
-        # bn/dense handled by name matching below if orders align
-    print(f'mapped {len(out)} conv kernels of {len(torch_groups)} torch '
-          'groups; bn/fc mapping requires matching architecture revisions —'
-          ' verify embedding parity after conversion')
-    # flat npz keyed by flax parameter path (registry.load_npz format)
-    np.savez(args.out, **out)
-    print(f'wrote {args.out}')
+    state = {k.replace('module.', ''): np.asarray(v)
+             for k, v in state.items()}
+    flat = convert_state_dict(state, channels=cls.CHANNELS)
+    out = Path(args.out) if args.out else _default_out(args.model)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, **flat)
+    # verification: strict reload must cover the whole parameter tree
+    load_npz(params, out, strict=True)
+    print(f'wrote {out} ({len(flat)} tensors, verified strict reload)')
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
     pd = sub.add_parser('darknet')
-    pd.add_argument('--cfg', required=True)
+    pd.add_argument('--model', help='registered zoo name, e.g. YOLOv4')
+    pd.add_argument('--cfg', help='explicit darknet cfg (instead of --model)')
     pd.add_argument('--weights', required=True)
-    pd.add_argument('--out', required=True)
+    pd.add_argument('--out')
     pd.set_defaults(fn=convert_darknet)
     po = sub.add_parser('osnet')
     po.add_argument('--ckpt', required=True)
     po.add_argument('--model', default='OSNet025')
-    po.add_argument('--out', required=True)
+    po.add_argument('--out')
     po.set_defaults(fn=convert_osnet)
     args = p.parse_args()
     args.fn(args)
