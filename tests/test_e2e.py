@@ -98,19 +98,3 @@ def test_mot_public_pipeline(tmp_path, rng):
     for tlbr in boxes_last.values():
         dists = [np.abs(tlbr - g).max() for g in gt_last]
         assert min(dists) < 12, (tlbr, gt_last)
-
-
-def test_mot_txt_format(tmp_path, rng):
-    """MOT txt rows must match the reference's formatting (app.py:92-97)."""
-    from fastmot_tpu.track import Track
-    import re
-    tlbr = np.array([10.0, 20.0, 59.0, 119.0])
-    resize_to = np.array(SIZE, float)
-    resolution = np.array(SEQ_SIZE, float)
-    tl = tlbr[:2] / resize_to * resolution
-    br = tlbr[2:] / resize_to * resolution
-    w, h = br - tl + 1
-    line = f'7,3,{tl[0]:.6f},{tl[1]:.6f},{w:.6f},{h:.6f},-1,-1,-1\n'
-    assert re.fullmatch(
-        r'\d+,\d+,\d+\.\d{6},\d+\.\d{6},\d+\.\d{6},\d+\.\d{6},-1,-1,-1\n',
-        line)
