@@ -27,7 +27,7 @@ from .videoio import VideoIO  # noqa: F401
 from .mot import MOT  # noqa: F401
 from .feature_extractor import FeatureExtractor  # noqa: F401
 from .tracker import MultiTracker  # noqa: F401
-from .kalman import KalmanConfig, MeasType  # noqa: F401
+from .kalman import KalmanConfig, KalmanFilter, MeasType  # noqa: F401
 from .flow import Flow  # noqa: F401
 from .track import Track  # noqa: F401
 

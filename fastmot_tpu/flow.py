@@ -1,12 +1,12 @@
 """KLT optical-flow tracker with camera-motion estimation.
 
 Behavioral reference: fastmot/flow.py (OpenCV GFTT/FAST corners, pyramidal
-Lucas-Kanade, RANSAC homography/affine). The TPU-native pipeline lives in
-``ops/lk.py`` (pyramidal LK over a fixed point budget), ``ops/corners.py``
-(Shi-Tomasi response + grid-bucketed top-k corner selection — replacing
-GFTT's min-distance sweep and FAST's ring test with one detector serving
-both roles) and ``ops/ransac.py`` (fixed-budget parallel hypothesis RANSAC
-replacing OpenCV's sequential adaptive RANSAC).
+Lucas-Kanade, RANSAC homography/affine). The TPU-native kernels live in
+``ops/flow_kernels.py``: pyramidal LK over a fixed point budget, Shi-Tomasi
+response + grid-bucketed top-k corner selection (replacing GFTT's
+min-distance sweep and FAST's ring test with one detector serving both
+roles), and fixed-budget parallel-hypothesis RANSAC replacing OpenCV's
+sequential adaptive RANSAC.
 
 ``Flow.predict`` mirrors flow.py:135-264: propagate or re-detect per-track
 keypoints with depth-ordered foreground masking, track all points plus

@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _f32_matmul(fn):
@@ -260,3 +261,59 @@ def batched_maha_distance(cfg: KalmanConfig, means: jax.Array, covs: jax.Array,
                           measurements: jax.Array) -> jax.Array:
     """[T] states x [N, 4] measurements -> [T, N] squared Mahalanobis."""
     return jax.vmap(lambda m, c: maha_distance(cfg, m, c, measurements))(means, covs)
+
+
+class KalmanFilter:
+    """API-parity class mirroring the reference's public surface
+    (fastmot/kalman_filter.py:13-226: create/predict/update/warp/
+    motion_distance/reset_dt). The functional batched API above is the
+    production path; this wrapper serves users of ``fastmot.KalmanFilter``
+    (exported by fastmot/__init__.py:1-7), returning numpy arrays."""
+
+    def __init__(self, **cfg_kwargs):
+        self.cfg = KalmanConfig(**cfg_kwargs)
+        self.reset_dt(1 / 30.0)
+
+    def reset_dt(self, dt):
+        """Recompute dt-dependent matrices (kalman_filter.py:86-94)."""
+        self.dt = dt
+        self.acc_cov, self.meas_mat, self.trans_mat = init_mats(self.cfg, dt)
+
+    def create(self, det_tlbr):
+        mean, cov = create(self.cfg, jnp.asarray(det_tlbr, jnp.float32))
+        return np.asarray(mean), np.asarray(cov)
+
+    def predict(self, mean, cov):
+        mean, cov = predict(self.cfg, jnp.asarray(mean, jnp.float32),
+                            jnp.asarray(cov, jnp.float32),
+                            self.trans_mat, self.acc_cov)
+        return np.asarray(mean), np.asarray(cov)
+
+    def project(self, mean, cov, meas_type=MeasType.DETECTOR,
+                multiplier=1.0):
+        pm, pc = project(self.cfg, jnp.asarray(mean, jnp.float32),
+                         jnp.asarray(cov, jnp.float32),
+                         jnp.bool_(meas_type == MeasType.FLOW),
+                         jnp.float32(multiplier))
+        return np.asarray(pm), np.asarray(pc)
+
+    def update(self, mean, cov, measurement, meas_type=MeasType.DETECTOR,
+               multiplier=1.0):
+        m, c = update(self.cfg, jnp.asarray(mean, jnp.float32),
+                      jnp.asarray(cov, jnp.float32),
+                      jnp.asarray(measurement, jnp.float32),
+                      jnp.bool_(meas_type == MeasType.FLOW),
+                      jnp.float32(multiplier))
+        return np.asarray(m), np.asarray(c)
+
+    def motion_distance(self, mean, cov, measurements):
+        d = maha_distance(self.cfg, jnp.asarray(mean, jnp.float32),
+                          jnp.asarray(cov, jnp.float32),
+                          jnp.asarray(measurements, jnp.float32))
+        return np.asarray(d)
+
+    def warp(self, mean, cov, h_mat):
+        m, c = warp(jnp.asarray(mean, jnp.float32),
+                    jnp.asarray(cov, jnp.float32),
+                    jnp.asarray(h_mat, jnp.float32))
+        return np.asarray(m), np.asarray(c)

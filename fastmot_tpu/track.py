@@ -49,6 +49,38 @@ class ClusterFeature:
             self.clusters[idx] += ((embedding - self.clusters[idx])
                                    / self.cluster_sizes[idx])
 
+    def distance(self, embeddings):
+        """Min distance of each embedding to any cluster (track.py:37-41)."""
+        embeddings = np.atleast_2d(embeddings)
+        if self.clusters is None:
+            return np.ones(len(embeddings))
+        clusters = self.clusters[:self._next_idx]
+        clusters = clusters / np.maximum(
+            np.linalg.norm(clusters, axis=1, keepdims=True), 1e-12)
+        if str(self.metric).lower().endswith('cosine'):
+            emb = embeddings / np.maximum(
+                np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12)
+            d = 1.0 - clusters @ emb.T
+        else:
+            diff = clusters[:, None, :] - embeddings[None, :, :]
+            d = np.sqrt(np.sum(diff * diff, axis=-1))
+        return d.min(axis=0)
+
+    def merge(self, features, other, other_features):
+        """Merge two cluster sets, keeping the larger side's clusters and
+        replaying the smaller side's raw features (track.py:43-55)."""
+        if len(features) > len(other_features):
+            for feature in other_features:
+                if feature is not None:
+                    self.update(feature)
+        else:
+            for feature in features:
+                if feature is not None:
+                    other.update(feature)
+            self.clusters = other.clusters.copy()
+            self.cluster_sizes = other.cluster_sizes.copy()
+            self._next_idx = other._next_idx
+
 
 class SmoothFeature:
     """EMA feature (track.py:69-88). Kept for capability parity."""

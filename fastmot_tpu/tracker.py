@@ -52,6 +52,24 @@ MAX_DETS = 128
 FEAT_DIM = 512
 
 
+class OverflowCounters(dict):
+    """Counts every fixed-capacity clip (SURVEY.md §7 "assert-and-clip with
+    overflow counters"): state beyond a budget is dropped SILENTLY by the
+    masked kernels, so the host shell records and warns instead. Keys:
+    detections_clipped, flow_tracks_clipped, keypoints_clipped,
+    tracks_clipped, track_slots_exhausted, hist_slots_stolen."""
+
+    def bump(self, kind: str, n: int = 1):
+        if n <= 0:
+            return
+        if kind not in self:
+            LOGGER.warning(
+                'Capacity overflow: %s (+%d) — state beyond the fixed '
+                'budget is clipped (see tracker.MAX_TRACKS/MAX_DETS, '
+                'flow_kernels.MAX_FLOW_TRACKS/KP_PER_TRACK)', kind, n)
+        self[kind] = self.get(kind, 0) + n
+
+
 def _bucket(n: int, lo: int = 8) -> int:
     b = lo
     while b < n:
@@ -413,6 +431,7 @@ class MultiTracker:
         self._hist_slot: dict[int, int] = {}          # trk_id -> hist slot
         self._pending: list = []
         self._mirrors_dirty = True        # host mirrors are authoritative
+        self.overflow = OverflowCounters()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -435,6 +454,7 @@ class MultiTracker:
         self._quarantined.clear()
         self.flow.init(frame)
         n = min(len(detections), MAX_DETS)
+        self.overflow.bump('detections_clipped', len(detections) - MAX_DETS)
         if n:
             tlbrs = np.zeros((MAX_DETS, 4), np.float32)
             tlbrs[:n] = detections.tlbr[:n]
@@ -460,6 +480,10 @@ class MultiTracker:
             return
         if self._dev_state is None or self._mirrors_dirty:
             self._upload_state()
+        from .ops import flow_kernels as fk
+        n_active = sum(1 for t in self.tracks.values() if t.active)
+        self.overflow.bump('flow_tracks_clipped',
+                           n_active - fk.MAX_FLOW_TRACKS)
 
         cur_state, new_state, info, next_seed = _chained_track_kernel(
             self.kf_cfg, self.flow.spec, float(self.age_penalty),
@@ -554,6 +578,7 @@ class MultiTracker:
         k_cap = fk.KP_PER_TRACK
         # compact live tracks into the slot table
         self._slot_ids = [None] * MAX_TRACKS
+        self.overflow.bump('tracks_clipped', len(self.tracks) - MAX_TRACKS)
         for i, tid in enumerate(list(self.tracks.keys())[:MAX_TRACKS]):
             self._slot_ids[i] = tid
         means = np.zeros((MAX_TRACKS, 8), np.float32)
@@ -576,6 +601,8 @@ class MultiTracker:
             ages[i] = trk.age
             inl[i] = trk.inlier_ratio
             k = min(len(trk.keypoints), k_cap)
+            self.overflow.bump('keypoints_clipped',
+                               len(trk.keypoints) - k_cap)
             if k:
                 kps[i, :k] = trk.keypoints[:k]
                 kpv[i, :k] = True
@@ -617,6 +644,7 @@ class MultiTracker:
                 self._hist_slot[trk_id] = s
                 return s
         # capacity full: steal the oldest history entry's slot
+        self.overflow.bump('hist_slots_stolen')
         for old_id in list(self.hist_tracks.keys()):
             s = self._hist_slot.get(old_id, -1)
             if s >= 0 and old_id != trk_id:
@@ -692,6 +720,7 @@ class MultiTracker:
         """Host-array association entry (PublicDetector-style recarrays).
         Wraps the device path (tracker.py:185-293)."""
         n_det = min(len(detections), MAX_DETS)
+        self.overflow.bump('detections_clipped', len(detections) - MAX_DETS)
         feat_dim = embeddings.shape[1] if embeddings is not None and \
             getattr(embeddings, 'ndim', 0) == 2 and embeddings.shape[0] \
             else FEAT_DIM
@@ -915,6 +944,7 @@ class MultiTracker:
         for tid, det_id, hslot in reid_matches:
             slot = self._free_slot()
             if slot is None:
+                self.overflow.bump('track_slots_exhausted')
                 break
             track = self.hist_tracks.pop(tid)
             self._hist_slot.pop(tid, None)
@@ -936,6 +966,7 @@ class MultiTracker:
         for det_id in invalid_u_det + reid_u_det:
             slot = self._free_slot()
             if slot is None:
+                self.overflow.bump('track_slots_exhausted')
                 break
             new_trk = Track(frame_id, d_tlbrs[det_id].astype(np.float64),
                             None, int(d_labels[det_id]), self.confirm_hits)

@@ -67,3 +67,19 @@ def test_chained_sync_idempotent():
     trk.sync()
     for tid, tlbr in before.items():
         np.testing.assert_array_equal(trk.tracks[tid].tlbr, tlbr)
+
+
+def test_public_surface_parity():
+    """Package exports match the reference's fastmot/__init__.py:1-7."""
+    import fastmot_tpu
+    for name in ('VideoIO', 'MOT', 'FeatureExtractor', 'MultiTracker',
+                 'KalmanFilter', 'Flow', 'Track'):
+        assert hasattr(fastmot_tpu, name), name
+    kf = fastmot_tpu.KalmanFilter()
+    import numpy as np
+    mean, cov = kf.create(np.array([10.0, 20.0, 50.0, 90.0]))
+    assert mean.shape == (8,) and cov.shape == (8, 8)
+    mean, cov = kf.predict(mean, cov)
+    mean, cov = kf.update(mean, cov, np.array([12.0, 21.0, 52.0, 91.0]))
+    d = kf.motion_distance(mean, cov, np.zeros((3, 4), np.float32))
+    assert d.shape == (3,)
