@@ -132,6 +132,7 @@ class MultiStreamMOT:
         self.frame_count = 0
 
     def visible_tracks(self, stream: int):
+        self.trackers[stream].sync()
         return (t for t in self.trackers[stream].tracks.values()
                 if t.confirmed and t.active)
 
@@ -166,20 +167,12 @@ class MultiStreamMOT:
                         jnp.asarray(frames[s]), tlbr_b[s], valid_b[s])
                     emb_dev.append(self.extractor.postprocess_device())
             with Profiler('assoc'):
-                # phased association: the two readbacks are batched across
-                # ALL streams (2 x ~latency total, not 2 x per stream)
-                tokens = []
+                # all-device association: one dispatch per stream, ZERO
+                # blocking readbacks — decisions are made on device and
+                # replayed into the host mirrors at the next sync()
                 for s, trk in enumerate(self.trackers):
                     det_dev = (tlbr_b[s], label_b[s], conf_b[s], valid_b[s])
-                    tokens.append(trk.update_device_begin(
-                        self.frame_count, det_dev, emb_dev[s]))
-                fetched = jax.device_get([t['fetch'] for t in tokens])
-                tokens2 = [trk.update_device_mid(t, f)
-                           for trk, t, f in zip(self.trackers, tokens,
-                                                fetched)]
-                fetched2 = jax.device_get([t2['fetch'] for t2 in tokens2])
-                for trk, t2, f2 in zip(self.trackers, tokens2, fetched2):
-                    trk.update_device_end(t2, np.asarray(f2))
+                    trk.update_device(self.frame_count, det_dev, emb_dev[s])
         else:
             with Profiler('track'):
                 # async dispatch: the chained kernels for all streams

@@ -8,23 +8,26 @@ state machine is inverted for TPU serving, where (measured on this
 environment) every host<->device transfer costs ~26 ms latency while the
 kernels themselves execute in well under a millisecond:
 
-  * ALL numeric track state is device-resident: Kalman means/covariances,
-    boxes, ages, flow keypoints, the running appearance-feature sums, and
-    the reID history feature store. It chains across frames on device.
+  * ALL tracking state is device-resident: Kalman means/covariances,
+    boxes, ages, hits, labels, start/end frames, flow keypoints, running
+    appearance-feature sums, and the reID history store (features +
+    labels + LRU stamps). It chains across frames on device.
   * Tracking-only frames (N-1 of every N) are ONE dispatch with zero
-    synchronization (_chained_track_kernel); per-frame info vectors are
-    fetched in one batched device_get at the next association.
-  * Association frames cost exactly TWO batched readbacks: one fetching
-    {pending gap-frame infos + cascade decisions + detection boxes}, and
-    one fetching the commit kernel's results (new boxes + means/covs to
-    refresh the host mirrors).
-  * The host keeps only genuinely dynamic bookkeeping: the track
-    dictionary, ID and slot allocation, the reID-history LRU, logging.
+    synchronization (_chained_track_kernel).
+  * Association frames are ALSO one dispatch (_assoc_kernel): the full
+    cascade, the lifecycle DECISIONS (rectify/merge, aging, deletion,
+    retirement, reID reinstation, slot allocation for new tracks, history
+    LRU maintenance), and the state commit are fused into a single jitted
+    program. Nothing blocks: the per-frame info vectors are fetched in
+    one batched device_get whenever the host next needs its mirrors
+    (visible_tracks / sync), and the host REPLAYS the device's decisions
+    onto the Track-object mirrors (IDs, logging, txt output).
+  * The host keeps only presentation state: the track dictionary, ID
+    assignment, the history id<->slot map, logging.
 
-Slot lifecycle (host-managed): free -> live -> (quarantined ->) free.
-A track whose box leaves the frame after a detector update is discovered
-in the commit readback; its slot is quarantined so its on-device features
-survive until the next association saves them into the history store.
+Slot lifecycle is decided ON DEVICE: free slots are allocated to
+reinstates then new detections in ascending order (mirroring the host's
+first-free rule), with drops counted when capacity is exhausted.
 """
 from __future__ import annotations
 
@@ -50,6 +53,20 @@ LOGGER = logging.getLogger(__name__)
 MAX_TRACKS = 128
 MAX_DETS = 128
 FEAT_DIM = 512
+
+# device state tuple layout (per track slot)
+#  0 means [T,8]   1 covs [T,8,8]  2 tlbrs [T,4]   3 valid [T]
+#  4 ages [T]      5 hits [T]      6 labels [T]    7 start_f [T]
+#  8 end_f [T]     9 lost_pending [T] (confirmed track lost in a gap
+#                     frame; its features await a history save)
+# 10 inl [T]      11 kps [T,K,2]  12 kpv [T,K]
+# 13 feat_sum [T,F]  14 feat_count [T]
+N_STATE = 15
+
+# history store tuple layout (per history slot)
+#  0 hist_sum [H,F]  1 hist_count [H]  2 h_labels [H]  3 h_valid [H]
+#  4 h_lru [H] (insertion frame stamp)  5 h_hits [H]
+N_HIST = 6
 
 
 class OverflowCounters(dict):
@@ -111,18 +128,19 @@ def _create_kernel(cfg: KalmanConfig, d_tlbrs):
     return kf.batched_create(cfg, d_tlbrs)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'spec', 'age_penalty'))
-def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
-                          prev_state, cur_frame, seed,
-                          means, covs, tlbrs, valid, ages, inl,
-                          kps, kp_valid, feat_sum, feat_count,
-                          trans, acc_cov, frame_tlbr):
+def _chained_track_core(cfg: KalmanConfig, spec, age_penalty: float,
+                        confirm_hits: int,
+                        prev_state, cur_frame, seed, state,
+                        trans, acc_cov, frame_tlbr):
     """One tracking-only frame entirely on device (mot.py:162-164 path):
     frame preprocess -> in-kernel depth sort (flow.py:157) -> corner
     management / pyramidal LK / RANSAC -> KF warp/predict/KLT-update ->
     out-of-frame + camera-failure validity updates. Returns the chained
     state and a small flat info vector for deferred host bookkeeping."""
     from .ops import flow_kernels as fk
+
+    (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+     lost_pending, inl, kps, kp_valid, feat_sum, feat_count) = state
 
     cur_state = fk._preprocess_jit(spec, cur_frame)
     t_cap = means.shape[0]
@@ -170,10 +188,17 @@ def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
 
     lost = valid & (ios_vals < 0.5)
     new_valid = jnp.where(h_ok, valid & ~lost, jnp.zeros_like(valid))
+    # confirmed tracks lost here keep their features pending a history
+    # save at the next association; camera failure clears WITHOUT saving
+    # (tracker.py:160-162)
+    confirmed = hits >= confirm_hits
+    new_lost_pending = jnp.where(h_ok, lost_pending | (lost & confirmed),
+                                 jnp.zeros_like(lost_pending))
     kpv_new = kpv_new & h_ok & new_valid[:, None]
     new_tlbrs = jnp.where(valid[:, None], next_tlbrs, tlbrs)
 
-    new_state = (means, covs, new_tlbrs, new_valid, ages, new_inl,
+    new_state = (means, covs, new_tlbrs, new_valid, ages, hits, labels,
+                 start_f, end_f, new_lost_pending, new_inl,
                  kps_new, kpv_new, feat_sum, feat_count)
     next_seed = seed + jnp.uint32(1)   # RNG seed stays device-resident
     # small flat info vector (~10KB): one transfer, batched with others
@@ -185,30 +210,23 @@ def _chained_track_kernel(cfg: KalmanConfig, spec, age_penalty: float,
     return cur_state, new_state, info, next_seed
 
 
-def _normalized_feats(feat_sum, feat_count):
-    avg = feat_sum / jnp.maximum(feat_count, 1.0)[:, None]
-    norm = jnp.linalg.norm(avg, axis=1, keepdims=True)
-    return avg / jnp.where(norm > 0, norm, 1.0)
+_chained_track_kernel = partial(
+    jax.jit, static_argnames=('cfg', 'spec', 'age_penalty', 'confirm_hits')
+)(_chained_track_core)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'metric', 'n_depth', 'motion_weight',
-                                   'max_assoc_cost', 'iou_gate', 'fill_val',
-                                   'occlusion_thresh', 'conf_thresh',
-                                   'max_reid_cost', 'dup_gate'))
-def _cascade_kernel(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
+def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
                     motion_weight: float, max_assoc_cost: float,
                     iou_gate: float, fill_val: float,
                     occlusion_thresh: float, conf_thresh: float,
                     max_reid_cost: float, dup_gate: float,
-                    means, covs, tlbrs, dev_valid, feat_sum, feat_count,
-                    t_labels, t_depth, t_confirmed, t_active, t_live,
+                    means, covs, tlbrs, t_valid, feat_sum, feat_count,
+                    t_labels, t_depth, t_confirmed, t_active,
                     d_tlbrs, d_labels, d_conf, d_valid, d_embeddings,
                     hist_sum, hist_count, h_labels, h_valid):
-    """The COMPLETE association cascade in one dispatch
-    (tracker.py:185-247). Track appearance features come from the
-    device-resident running sums; the reID history from the device
-    history store. Only small label/age masks arrive from the host."""
-    t_valid = dev_valid & t_live
+    """The COMPLETE association cascade (tracker.py:185-247): age-cascaded
+    appearance+motion stage, IoU stages for active and unconfirmed tracks,
+    greedy reID against the history store, duplicate-rectify candidates."""
     occluded = geom.find_occluded(d_tlbrs, occlusion_thresh, d_valid)
 
     t_feats = _normalized_feats(feat_sum, feat_count)
@@ -271,23 +289,108 @@ def _cascade_kernel(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     return (occluded, col4row_final, u_det_conf, reid_c4r, rect_c4r)
 
 
-@partial(jax.jit, static_argnames=('cfg',))
-def _commit_kernel(cfg: KalmanConfig,
-                   means, covs, tlbrs, valid, ages, inl, kps, kpv,
-                   feat_sum, feat_count, hist_sum, hist_count,
-                   d_tlbrs, d_emb,
-                   merge_src, hist_dst, reinstate_hist, match_det, feat_ok,
-                   create_det, new_ages, new_valid, frame_tlbr):
-    """Apply the host's association decisions to the device state in one
-    dispatch: merges, history saves, reinstates, matched-track KF
-    corrections + feature updates, new-track creation. Decision arrays are
-    slot-indexed int32/bool vectors (-1 = not applicable)."""
-    t_cap = means.shape[0]
-    idx = jnp.arange(t_cap)
+def _normalized_feats(feat_sum, feat_count):
+    avg = feat_sum / jnp.maximum(feat_count, 1.0)[:, None]
+    norm = jnp.linalg.norm(avg, axis=1, keepdims=True)
+    return avg / jnp.where(norm > 0, norm, 1.0)
 
-    # 1. merges (merge_continuation, track.py:208-220): dst takes src's
-    # KF state + keypoints; features and counts add
-    src = jnp.where(merge_src >= 0, merge_src, idx)
+
+def _assoc_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
+                motion_weight: float, max_assoc_cost: float,
+                iou_gate: float, fill_val: float,
+                occlusion_thresh: float, conf_thresh: float,
+                max_reid_cost: float, dup_gate: float,
+                confirm_hits: int, max_age: int, history_size: int,
+                state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+                frame_id, frame_tlbr):
+    """ONE dispatch for a full association frame: cascade + lifecycle
+    DECISIONS + state commit (tracker.py:185-293 + 368-401), with slot
+    and history allocation on device. Returns (new_state, new_hist, info);
+    the info vector lets the host replay every decision onto its Track
+    mirrors without ever blocking the frame loop."""
+    (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+     lost_pending, inl, kps, kpv, feat_sum, feat_count) = state
+    hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits = hist
+    t_cap = means.shape[0]
+    d_cap = d_tlbrs.shape[0]
+    h_cap = hist_sum.shape[0]
+    t_idx = jnp.arange(t_cap, dtype=jnp.int32)
+    d_idx = jnp.arange(d_cap, dtype=jnp.int32)
+    h_idx = jnp.arange(h_cap, dtype=jnp.int32)
+
+    confirmed = hits >= confirm_hits
+    active = ages < 2
+    depth = ages // 2
+    h_reid_ok = h_valid & (hist_count >= 2.0)   # tracker.py:229 count>=2
+
+    occluded, col4row, u_det_conf, reid_c4r, rect_c4r = _cascade_stages(
+        cfg, metric, n_depth, motion_weight, max_assoc_cost, iou_gate,
+        fill_val, occlusion_thresh, conf_thresh, max_reid_cost, dup_gate,
+        means, covs, tlbrs, valid, feat_sum, feat_count,
+        labels, depth, confirmed, active,
+        d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+        hist_sum, hist_count, h_labels, h_reid_ok)
+
+    # ---- rectify: merge vs duplicate (tracker.py:387-401) -----------------
+    has_rect = rect_c4r >= 0                      # row i: unmatched active
+    j = jnp.where(has_rect, rect_c4r, 0)
+    merge_cond = has_rect & (end_f[j] < start_f)  # m=j absorbs u=i
+    dup_cond = has_rect & ~merge_cond
+    merge_src = jnp.full(t_cap, -1, jnp.int32).at[
+        jnp.where(merge_cond, j, t_cap)].set(t_idx, mode='drop')
+    merged_away = merge_cond
+    # duplicate: the unmatched-active row takes the matched row's det
+    dup_det = col4row[j]
+    col4row = jnp.where(dup_cond, dup_det, col4row)
+    col4row = col4row.at[jnp.where(dup_cond, j, t_cap)].set(-1, mode='drop')
+
+    # ---- lifecycle decisions (tracker.py:258-293) --------------------------
+    matched = (col4row >= 0) & valid & ~merged_away
+    col4row = jnp.where(matched, col4row, -1)
+    live = valid & ~merged_away
+    unmatched = live & ~matched
+    aged = ages + 1                               # mark_missed
+    del_unconf = unmatched & ~confirmed
+    retire_age = unmatched & confirmed & (aged > max_age)
+    keep_unmatched = unmatched & ~del_unconf & ~retire_age
+
+    # reID reinstates + new tracks share the free-slot pool
+    reinstated_h = (reid_c4r >= 0) & h_reid_ok
+    reid_det = jnp.where(reinstated_h, reid_c4r, 0)
+    taken = jnp.zeros(d_cap, bool).at[
+        jnp.where(reinstated_h, reid_det, d_cap)].set(True, mode='drop')
+    create_mask = u_det_conf & (occluded | ~taken) & d_valid
+
+    free = (~valid) | merged_away | del_unconf | retire_age
+    free_idx = jnp.nonzero(free, size=t_cap, fill_value=t_cap)[0] \
+        .astype(jnp.int32)
+    n_free = jnp.sum(free)
+    r_rank = jnp.cumsum(reinstated_h) - 1          # [H]
+    n_reid_req = jnp.sum(reinstated_h)
+    c_rank = n_reid_req + jnp.cumsum(create_mask) - 1   # [D]
+    r_ok = reinstated_h & (r_rank < n_free)
+    c_ok = create_mask & (c_rank < n_free)
+    slot_of_reid = jnp.where(
+        r_ok, free_idx[jnp.clip(r_rank, 0, t_cap - 1)], t_cap)
+    slot_of_create = jnp.where(
+        c_ok, free_idx[jnp.clip(c_rank, 0, t_cap - 1)], t_cap)
+    n_dropped = (n_reid_req - jnp.sum(r_ok)) + \
+        (jnp.sum(create_mask) - jnp.sum(c_ok))
+
+    reinstate_hist = jnp.full(t_cap, -1, jnp.int32).at[
+        slot_of_reid].set(h_idx, mode='drop')
+    # reinstated slots get their reID detection; fresh slots theirs
+    create_det = jnp.full(t_cap, -1, jnp.int32).at[
+        slot_of_create].set(d_idx, mode='drop').at[
+        slot_of_reid].set(jnp.where(r_ok, reid_det, 0), mode='drop')
+
+    match_det = jnp.where(matched, col4row, -1)
+    feat_ok = matched & ~occluded[jnp.where(matched, col4row, 0)]
+    re = reinstate_hist >= 0
+    c = create_det >= 0
+
+    # ---- commit: merges ----------------------------------------------------
+    src = jnp.where(merge_src >= 0, merge_src, t_idx)
     has_merge = merge_src >= 0
     means = jnp.where(has_merge[:, None], means[src], means)
     covs = jnp.where(has_merge[:, None, None], covs[src], covs)
@@ -299,21 +402,15 @@ def _commit_kernel(cfg: KalmanConfig,
                          feat_sum)
     feat_count = jnp.where(has_merge, feat_count + feat_count[src],
                            feat_count)
+    hits = jnp.where(has_merge, hits + hits[src], hits)   # track.py:227-237
 
-    # 2. history saves: hist_dst[slot] = history slot to receive this
-    # track's running feature sum (lost tracks, tracker.py:295-300)
-    save = hist_dst >= 0
-    hs = jnp.where(save, hist_dst, hist_sum.shape[0])
-    hist_sum = hist_sum.at[hs].set(feat_sum, mode='drop')
-    hist_count = hist_count.at[hs].set(feat_count, mode='drop')
-
-    # 3. reinstates (tracker.py:249-256): restore features from history
-    re = reinstate_hist >= 0
+    # ---- reinstates read the PRE-save history ------------------------------
     rh = jnp.where(re, reinstate_hist, 0)
     feat_sum = jnp.where(re[:, None], hist_sum[rh], feat_sum)
     feat_count = jnp.where(re, hist_count[rh], feat_count)
+    re_hits = h_hits[rh]
 
-    # 4. matched-track KF corrections (tracker.py:258-272)
+    # ---- matched KF corrections (tracker.py:258-272) -----------------------
     m = match_det >= 0
     z = d_tlbrs[jnp.where(m, match_det, 0)]
     up_means, up_covs = kf.batched_update(
@@ -322,45 +419,99 @@ def _commit_kernel(cfg: KalmanConfig,
     means = jnp.where(m[:, None], up_means, means)
     covs = jnp.where(m[:, None, None], up_covs, covs)
 
-    # 5. creations (new + reinstated tracks): state from detection
-    c = create_det >= 0
+    # ---- creations (new + reinstated): state from detection ----------------
     cz = d_tlbrs[jnp.where(c, create_det, 0)]
     cr_means, cr_covs = kf.batched_create(cfg, cz)
     means = jnp.where(c[:, None], cr_means, means)
     covs = jnp.where(c[:, None, None], cr_covs, covs)
     kpv = jnp.where(c[:, None], False, kpv)
     inl = jnp.where(c, 1.0, inl)
-    # fresh tracks start with empty features (track.py:132-148);
-    # reinstated ones keep their restored history features
     fresh = c & ~re
     feat_sum = jnp.where(fresh[:, None], 0.0, feat_sum)
     feat_count = jnp.where(fresh, 0.0, feat_count)
 
-    # 6. boxes / out-of-frame test BEFORE feature updates (a matched box
-    # that leaves the frame does not absorb its embedding,
-    # tracker.py:267-272)
+    # ---- boxes / out-of-frame BEFORE feature absorption --------------------
     next_tlbrs = geom.as_tlbr(means[:, :4])
     ios_vals = geom.ios(next_tlbrs,
                         jnp.broadcast_to(frame_tlbr, next_tlbrs.shape))
-    out_of_frame = m & (ios_vals < 0.5)
+    out_of_frame = (m | c) & (ios_vals < 0.5)
 
-    # 7. feature updates: matched+valid and reinstated tracks absorb the
-    # detection embedding (add_detection / reinstate, track.py:184-203)
+    # ---- feature updates ----------------------------------------------------
     det_of = jnp.where(m, match_det, jnp.where(c, create_det, 0))
     emb = d_emb[det_of]
     upd = (m & feat_ok & ~out_of_frame) | (c & re)
     feat_sum = jnp.where(upd[:, None], feat_sum + emb, feat_sum)
     feat_count = jnp.where(upd, feat_count + 1.0, feat_count)
     tlbrs = jnp.where((m | c)[:, None], next_tlbrs, tlbrs)
-    valid = new_valid & ~out_of_frame
-    ages = new_ages
 
-    new_state = (means, covs, tlbrs, valid, ages, inl, kps, kpv,
-                 feat_sum, feat_count)
+    # ---- bookkeeping fields -------------------------------------------------
+    new_hits = jnp.where(m, hits + 1, hits)
+    new_hits = jnp.where(re, re_hits, new_hits)
+    new_hits = jnp.where(fresh, 0, new_hits)
+    new_ages = jnp.where(m | c, 0, jnp.where(keep_unmatched, aged, ages))
+    new_labels = jnp.where(c, d_labels[jnp.where(c, create_det, 0)], labels)
+    new_labels = jnp.where(re, h_labels[rh], new_labels)
+    new_start = jnp.where(c, frame_id, start_f)
+    new_end = jnp.where(m | c, frame_id, end_f)
+    confirmed_after = new_hits >= confirm_hits
+
+    new_valid = (m & ~out_of_frame) | keep_unmatched | (c & ~out_of_frame)
+
+    # ---- history maintenance ------------------------------------------------
+    # clear reinstated entries, then save retiring tracks' features:
+    # gap-frame losses (lost_pending), age-outs, and out-of-frame exits
+    h_valid2 = h_valid & ~(reinstated_h & r_ok)
+    save_mask = lost_pending | retire_age | (out_of_frame & confirmed_after)
+    # allocation order: invalid slots ascending, then oldest LRU
+    alloc_key = jnp.where(h_valid2, h_lru.astype(jnp.float32),
+                          -1e9 + h_idx.astype(jnp.float32))
+    alloc_order = jnp.argsort(alloc_key).astype(jnp.int32)
+    s_rank = jnp.cumsum(save_mask) - 1
+    hist_dst = jnp.where(
+        save_mask, alloc_order[jnp.clip(s_rank, 0, h_cap - 1)], -1)
+    hist_dst = jnp.where(save_mask & (s_rank < h_cap), hist_dst, -1)
+    stolen = jnp.sum(jnp.where(hist_dst >= 0, h_valid2[jnp.where(
+        hist_dst >= 0, hist_dst, 0)], False))
+    hs = jnp.where(hist_dst >= 0, hist_dst, h_cap)
+    hist_sum2 = hist_sum.at[hs].set(feat_sum, mode='drop')
+    hist_count2 = hist_count.at[hs].set(feat_count, mode='drop')
+    h_labels2 = h_labels.at[hs].set(labels, mode='drop')
+    h_lru2 = h_lru.at[hs].set(frame_id, mode='drop')
+    h_hits2 = h_hits.at[hs].set(new_hits, mode='drop')
+    h_valid2 = h_valid2.at[hs].set(True, mode='drop')
+    # cap the store at history_size by evicting oldest-inserted entries
+    n_valid = jnp.sum(h_valid2)
+    excess = jnp.maximum(n_valid - history_size, 0)
+    lru_key = jnp.where(h_valid2, h_lru2.astype(jnp.float32), jnp.inf)
+    lru_rank = jnp.argsort(jnp.argsort(lru_key))   # rank by insertion age
+    evict = h_valid2 & (lru_rank < excess)
+    h_valid_final = h_valid2 & ~evict
+
+    new_lost_pending = jnp.zeros_like(lost_pending)
+    new_state = (means, covs, tlbrs, new_valid, new_ages, new_hits,
+                 new_labels, new_start, new_end, new_lost_pending, inl,
+                 kps, kpv, feat_sum, feat_count)
+    new_hist = (hist_sum2, hist_count2, h_labels2, h_valid_final, h_lru2,
+                h_hits2)
+
     info = jnp.concatenate([
         a.astype(jnp.float32).reshape(-1) for a in (
-            next_tlbrs, out_of_frame, means, covs)])
-    return new_state, (hist_sum, hist_count), info
+            jnp.stack([frame_id.astype(jnp.float32),
+                       n_dropped.astype(jnp.float32),
+                       stolen.astype(jnp.float32)]),
+            match_det, merge_src, dup_cond, del_unconf, retire_age,
+            out_of_frame, hist_dst, reinstate_hist, create_det,
+            new_ages, new_hits, new_labels, new_valid, feat_ok,
+            jnp.where(evict, 1.0, 0.0),
+            next_tlbrs, means, covs)])
+    return new_state, new_hist, info
+
+
+_assoc_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
+    'iou_gate', 'fill_val', 'occlusion_thresh', 'conf_thresh',
+    'max_reid_cost', 'dup_gate', 'confirm_hits', 'max_age',
+    'history_size'))(_assoc_core)
 
 
 class MultiTracker:
@@ -423,13 +574,12 @@ class MultiTracker:
             self.kf_cfg, self._dt)
         self._frame_rect_dev = jnp.asarray(self.frame_rect, jnp.float32)
 
-        # device-resident state + host slot management
+        # device-resident state + host presentation mirrors
         self._dev_state = None
-        self._hist_store = None          # (hist_sum, hist_count) on device
+        self._hist_store = None
         self._slot_ids: list = [None] * MAX_TRACKS   # slot -> trk_id
-        self._quarantined: set[int] = set()           # slots awaiting save
-        self._hist_slot: dict[int, int] = {}          # trk_id -> hist slot
-        self._pending: list = []
+        self._hist_slot_tid: dict[int, int] = {}     # hist slot -> trk_id
+        self._pending: list = []                     # (kind, meta, info_dev)
         self._mirrors_dirty = True        # host mirrors are authoritative
         self.overflow = OverflowCounters()
 
@@ -441,7 +591,7 @@ class MultiTracker:
         self._acc_cov, self._meas_mat, self._trans_mat = kf.init_mats(
             self.kf_cfg, dt)
         self.hist_tracks.clear()
-        self._hist_slot.clear()
+        self._hist_slot_tid.clear()
         self._hist_store = None
         Track._count = 0
 
@@ -451,7 +601,6 @@ class MultiTracker:
         self._pending = []
         self.tracks.clear()
         self._slot_ids = [None] * MAX_TRACKS
-        self._quarantined.clear()
         self.flow.init(frame)
         n = min(len(detections), MAX_DETS)
         self.overflow.bump('detections_clipped', len(detections) - MAX_DETS)
@@ -487,57 +636,303 @@ class MultiTracker:
 
         cur_state, new_state, info, next_seed = _chained_track_kernel(
             self.kf_cfg, self.flow.spec, float(self.age_penalty),
+            self.confirm_hits,
             self.flow.device_state, jnp.asarray(frame),
-            self.flow.seed_dev,
-            *self._dev_state, self._trans_mat, self._acc_cov,
-            self._frame_rect_dev)
+            self.flow.seed_dev, self._dev_state,
+            self._trans_mat, self._acc_cov, self._frame_rect_dev)
         self._dev_state = new_state
         self.flow.advance(cur_state, next_seed)
-        self._pending.append((list(self._slot_ids), info))
+        self._pending.append(('gap', list(self._slot_ids), info))
+
+    # -- association ----------------------------------------------------------
+
+    def update(self, frame_id, detections, embeddings):
+        """Host-array association entry (PublicDetector-style recarrays).
+        Synchronous: mirrors are current on return (tracker.py:185-293)."""
+        n_det = min(len(detections), MAX_DETS)
+        self.overflow.bump('detections_clipped', len(detections) - MAX_DETS)
+        feat_dim = embeddings.shape[1] if embeddings is not None and \
+            getattr(embeddings, 'ndim', 0) == 2 and embeddings.shape[0] \
+            else FEAT_DIM
+        d_tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+        d_labels = np.full(MAX_DETS, -1, np.int32)
+        d_conf = np.zeros(MAX_DETS, np.float32)
+        d_valid = np.zeros(MAX_DETS, bool)
+        d_emb = np.zeros((MAX_DETS, feat_dim), np.float32)
+        if n_det:
+            d_tlbrs[:n_det] = detections.tlbr[:n_det]
+            d_labels[:n_det] = detections.label[:n_det]
+            d_conf[:n_det] = detections.conf[:n_det]
+            d_valid[:n_det] = True
+            if embeddings is not None and len(embeddings):
+                d_emb[:n_det] = embeddings[:n_det]
+        det_dev = tuple(jnp.asarray(a) for a in
+                        (d_tlbrs, d_labels, d_conf, d_valid))
+        self.update_device(frame_id, det_dev, jnp.asarray(d_emb),
+                           host_emb=d_emb)
+        self.sync()
+
+    def update_device(self, frame_id, det_dev, emb_dev, host_emb=None):
+        """Device-array association: ONE dispatch, ZERO blocking reads.
+        The decisions are made on device (_assoc_kernel); the info vector
+        joins the pending queue and is replayed at the next sync()."""
+        if self._dev_state is None or self._mirrors_dirty:
+            self._upload_state()
+        self._ensure_hist_store()
+        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = det_dev
+
+        n_depth = (self.max_age + 2) // 2
+        fill_val = min(self.max_assoc_cost + 0.1, 1.0)
+        new_state, new_hist, info = _assoc_kernel(
+            self.kf_cfg, self.metric, n_depth, self.motion_weight,
+            self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
+            self.occlusion_thresh, self.conf_thresh, self.max_reid_cost,
+            1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
+            self.history_size,
+            self._dev_state, self._hist_store,
+            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
+            jnp.int32(frame_id), self._frame_rect_dev)
+        self._dev_state = new_state
+        self._hist_store = new_hist
+        self._pending.append(('assoc', {'frame_id': frame_id,
+                                        'host_emb': host_emb}, info))
+
+    # -- deferred host bookkeeping ---------------------------------------------
 
     def sync(self, infos=None):
-        """Apply pending chained-frame results to the host Track mirrors.
-        Pass pre-fetched ``infos`` to reuse a larger batched device_get."""
+        """Apply pending device results (gap frames + associations) to the
+        host Track mirrors, in dispatch order. Pass pre-fetched ``infos``
+        to reuse a larger batched device_get."""
         pending, self._pending = self._pending, []
         if not pending:
             return
         if infos is None:
-            infos = jax.device_get([info for _, info in pending])
-        for (slot_ids, _), flat in zip(pending, infos):
-            (h_ok, h_mat, next_tlbrs, lost, has_klt, klt_tlbrs, new_inl,
-             bg_prev, bg_cur, bg_inlier, est_ok) = self._unpack_info(flat)
-            if not bool(h_ok):
-                for trk in self.tracks.values():
-                    trk.keypoints = np.empty((0, 2), np.float32)
-                self.klt_bboxes = {}
-                self.homography = None
-                LOGGER.warning('Camera motion estimation failed')
-                # cleared tracks do NOT enter reID history
-                # (tracker.py:160-162)
-                self.tracks.clear()
-                self._slot_ids = [None] * MAX_TRACKS
-                continue
-            self.homography = h_mat.astype(np.float64)
-            keep = bg_inlier.astype(bool)
-            self.flow.prev_bg_keypoints = bg_prev[keep]
-            self.flow.bg_keypoints = bg_cur[keep]
+            infos = jax.device_get([info for _, _, info in pending])
+        for (kind, meta, _), flat in zip(pending, infos):
+            if kind == 'gap':
+                self._apply_gap_info(meta, flat)
+            else:
+                self._apply_assoc_info(meta, flat)
+
+    def _apply_gap_info(self, slot_ids, flat):
+        (h_ok, h_mat, next_tlbrs, lost, has_klt, klt_tlbrs, new_inl,
+         bg_prev, bg_cur, bg_inlier, est_ok) = self._unpack_info(flat)
+        if not bool(h_ok):
+            for trk in self.tracks.values():
+                trk.keypoints = np.empty((0, 2), np.float32)
             self.klt_bboxes = {}
-            tl64 = next_tlbrs.astype(np.float64)
-            for i, tid in enumerate(slot_ids):
-                if tid is None:
-                    continue
-                track = self.tracks.get(tid)
-                if track is None:
-                    continue
-                if est_ok[i]:
-                    self.klt_bboxes[tid] = klt_tlbrs[i].astype(np.float64)
-                if has_klt[i]:
-                    track.inlier_ratio = float(new_inl[i])
-                track.update(tl64[i], track.state)
-                if lost[i]:
-                    if track.confirmed:
-                        LOGGER.info(f"{'Out:':<14}{track}")
-                    self._retire(tid, i)
+            self.homography = None
+            LOGGER.warning('Camera motion estimation failed')
+            # cleared tracks do NOT enter reID history (tracker.py:160-162)
+            self.tracks.clear()
+            self._slot_ids = [None] * MAX_TRACKS
+            return
+        self.homography = h_mat.astype(np.float64)
+        keep = bg_inlier.astype(bool)
+        self.flow.prev_bg_keypoints = bg_prev[keep]
+        self.flow.bg_keypoints = bg_cur[keep]
+        self.klt_bboxes = {}
+        tl64 = next_tlbrs.astype(np.float64)
+        for i, tid in enumerate(slot_ids):
+            if tid is None:
+                continue
+            track = self.tracks.get(tid)
+            if track is None:
+                continue
+            if est_ok[i]:
+                self.klt_bboxes[tid] = klt_tlbrs[i].astype(np.float64)
+            if has_klt[i]:
+                track.inlier_ratio = float(new_inl[i])
+            track.update(tl64[i], track.state)
+            if lost[i]:
+                if track.confirmed:
+                    LOGGER.info(f"{'Out:':<14}{track}")
+                    # moved to history; the hist slot arrives in the next
+                    # association's info (lost_pending save). The slot id
+                    # mapping stays until then.
+                    self.hist_tracks[tid] = self.tracks.pop(tid)
+                    self._trim_hist()
+                else:
+                    del self.tracks[tid]
+                    self._slot_ids[i] = None
+
+    def _assoc_layout(self):
+        t, d, h = MAX_TRACKS, MAX_DETS, self._hist_cap
+        return [
+            ('head', (3,), np.float32),
+            ('match_det', (t,), np.int32), ('merge_src', (t,), np.int32),
+            ('dup', (t,), bool), ('del_unconf', (t,), bool),
+            ('retire_age', (t,), bool), ('out_of_frame', (t,), bool),
+            ('hist_dst', (t,), np.int32), ('reinstate_hist', (t,), np.int32),
+            ('create_det', (t,), np.int32),
+            ('new_ages', (t,), np.int32), ('new_hits', (t,), np.int32),
+            ('new_labels', (t,), np.int32), ('new_valid', (t,), bool),
+            ('feat_ok', (t,), bool), ('evict', (h,), bool),
+            ('next_tlbrs', (t, 4), np.float32),
+            ('means', (t, 8), np.float32), ('covs', (t, 8, 8), np.float32),
+        ]
+
+    def _unpack_assoc(self, flat):
+        out = {}
+        off = 0
+        for name, shape, dtype in self._assoc_layout():
+            n = int(np.prod(shape))
+            arr = flat[off:off + n].reshape(shape)
+            off += n
+            if dtype is bool:
+                arr = arr > 0.5
+            elif dtype is not np.float32:
+                arr = np.rint(arr).astype(dtype)
+            out[name] = arr
+        assert off == flat.size, (off, flat.size)
+        return out
+
+    def _apply_assoc_info(self, meta, flat):
+        """Replay the device's association decisions onto the host Track
+        mirrors: logging, ID assignment, history id<->slot bookkeeping."""
+        frame_id = meta['frame_id']
+        host_emb = meta['host_emb']
+        a = self._unpack_assoc(flat)
+        slot_ids = self._slot_ids
+        self.overflow.bump('track_slots_exhausted', int(a['head'][1]))
+        self.overflow.bump('hist_slots_stolen', int(a['head'][2]))
+        nt = a['next_tlbrs'].astype(np.float64)
+
+        def state_of(i):
+            return (a['means'][i].copy(), a['covs'][i].copy())
+
+        # 1. merges + duplicates (tracker.py:387-401)
+        for jslot in range(MAX_TRACKS):
+            i = int(a['merge_src'][jslot])
+            if i < 0:
+                continue
+            u_tid, m_tid = slot_ids[i], slot_ids[jslot]
+            t_u = self.tracks.get(u_tid)
+            t_m = self.tracks.get(m_tid)
+            if t_u is None or t_m is None:
+                continue
+            LOGGER.debug(f"{'Merged:':<14}{u_tid} -> {m_tid}")
+            t_m.merge_continuation(t_u)
+            del self.tracks[u_tid]
+            slot_ids[i] = None
+        for i in np.flatnonzero(a['dup']):
+            LOGGER.debug(f"{'Duplicate:':<14}{slot_ids[i]}")
+
+        # 2. matched updates (tracker.py:258-272)
+        for i in np.flatnonzero(a['match_det'] >= 0):
+            tid = slot_ids[i]
+            track = self.tracks.get(tid)
+            if track is None:
+                continue
+            det_id = int(a['match_det'][i])
+            is_valid = bool(a['feat_ok'][i]) and not a['out_of_frame'][i]
+            if track.hits == self.confirm_hits - 1:
+                LOGGER.info(f"{'Found:':<14}{track}")
+            emb = host_emb[det_id] if host_emb is not None else None
+            track.add_detection(frame_id, nt[i], state_of(i), emb,
+                                is_valid and emb is not None)
+            if is_valid and emb is None:
+                track.avg_feat.count += 1   # features live on device
+            if a['out_of_frame'][i]:
+                if track.confirmed:
+                    LOGGER.info(f"{'Out:':<14}{track}")
+                    self.hist_tracks[tid] = self.tracks.pop(tid)
+                    self._trim_hist()
+                else:
+                    del self.tracks[tid]
+                slot_ids[i] = None
+
+        # 3. unmatched aging / deletion / retirement (tracker.py:274-284)
+        for i in np.flatnonzero(a['del_unconf']):
+            tid = slot_ids[i]
+            track = self.tracks.get(tid)
+            if track is None:
+                continue
+            track.mark_missed()
+            LOGGER.debug(f"{'Unconfirmed:':<14}{track}")
+            del self.tracks[tid]
+            slot_ids[i] = None
+        for i in np.flatnonzero(a['retire_age']):
+            tid = slot_ids[i]
+            track = self.tracks.get(tid)
+            if track is None:
+                continue
+            track.mark_missed()
+            LOGGER.info(f"{'Lost:':<14}{track}")
+            self.hist_tracks[tid] = self.tracks.pop(tid)
+            self._trim_hist()
+        # survivors' ages
+        for i in range(MAX_TRACKS):
+            tid = slot_ids[i]
+            track = self.tracks.get(tid) if tid is not None else None
+            if track is not None and a['match_det'][i] < 0 and \
+                    a['new_valid'][i]:
+                track.age = int(a['new_ages'][i])
+
+        # 4. history saves: map hist slots to retired track ids
+        for i in np.flatnonzero(a['hist_dst'] >= 0):
+            tid = slot_ids[i]
+            if tid is None:
+                continue
+            s = int(a['hist_dst'][i])
+            old = self._hist_slot_tid.get(s)
+            if old is not None and old != tid:
+                self.hist_tracks.pop(old, None)
+            self._hist_slot_tid[s] = tid
+            if not a['new_valid'][i]:
+                slot_ids[i] = None
+
+        # 5. reinstates (tracker.py:249-256)
+        for i in np.flatnonzero(a['reinstate_hist'] >= 0):
+            s = int(a['reinstate_hist'][i])
+            tid = self._hist_slot_tid.pop(s, None)
+            track = self.hist_tracks.pop(tid, None) if tid is not None \
+                else None
+            det_id = int(a['create_det'][i])
+            if track is None:
+                continue
+            LOGGER.info(f"{'Reidentified:':<14}{track}")
+            emb = host_emb[det_id] if host_emb is not None else None
+            track.reinstate(frame_id, nt[i], state_of(i), emb)
+            if emb is None:
+                track.avg_feat.count += 1
+            self.tracks[tid] = track
+            slot_ids[i] = tid
+
+        # 6. new tracks, in detection order for deterministic IDs
+        # (tracker.py:286-293)
+        creations = [(int(a['create_det'][i]), i)
+                     for i in np.flatnonzero(
+                         (a['create_det'] >= 0)
+                         & (a['reinstate_hist'] < 0))]
+        for det_id, i in sorted(creations):
+            new_trk = Track(frame_id, nt[i], state_of(i),
+                            int(a['new_labels'][i]), self.confirm_hits)
+            self.tracks[new_trk.trk_id] = new_trk
+            slot_ids[i] = new_trk.trk_id
+            LOGGER.debug(f"{'Detected:':<14}{new_trk}")
+            if a['out_of_frame'][i]:
+                del self.tracks[new_trk.trk_id]
+                slot_ids[i] = None
+
+        # 7. history evictions (LRU cap)
+        for s in np.flatnonzero(a['evict']):
+            tid = self._hist_slot_tid.pop(int(s), None)
+            if tid is not None:
+                self.hist_tracks.pop(tid, None)
+
+        # 8. drop slot labels for anything no longer live
+        for i in range(MAX_TRACKS):
+            if not a['new_valid'][i] and slot_ids[i] is not None and \
+                    slot_ids[i] not in self.tracks:
+                slot_ids[i] = None
+
+    def _trim_hist(self):
+        while len(self.hist_tracks) > self.history_size:
+            old_id, _ = self.hist_tracks.popitem(last=False)
+            for s, tid in list(self._hist_slot_tid.items()):
+                if tid == old_id:
+                    del self._hist_slot_tid[s]
 
     def _info_layout(self):
         from .ops import flow_kernels as fk
@@ -575,6 +970,8 @@ class MultiTracker:
         """Build the device state from the host mirrors (cycle start or
         after legacy-path mutations). One batched H2D."""
         from .ops import flow_kernels as fk
+        # pending infos refer to the pre-upload slot table; flush first
+        self.sync()
         k_cap = fk.KP_PER_TRACK
         # compact live tracks into the slot table
         self._slot_ids = [None] * MAX_TRACKS
@@ -586,6 +983,11 @@ class MultiTracker:
         tlbrs = np.zeros((MAX_TRACKS, 4), np.float32)
         valid = np.zeros(MAX_TRACKS, bool)
         ages = np.zeros(MAX_TRACKS, np.int32)
+        hits = np.zeros(MAX_TRACKS, np.int32)
+        labels = np.full(MAX_TRACKS, -2, np.int32)
+        start_f = np.zeros(MAX_TRACKS, np.int32)
+        end_f = np.zeros(MAX_TRACKS, np.int32)
+        lost_pending = np.zeros(MAX_TRACKS, bool)
         inl = np.ones(MAX_TRACKS, np.float32)
         kps = np.zeros((MAX_TRACKS, k_cap, 2), np.float32)
         kpv = np.zeros((MAX_TRACKS, k_cap), bool)
@@ -599,6 +1001,10 @@ class MultiTracker:
             tlbrs[i] = trk.tlbr
             valid[i] = True
             ages[i] = trk.age
+            hits[i] = trk.hits
+            labels[i] = trk.label
+            start_f[i] = trk.start_frame
+            end_f[i] = trk.end_frame
             inl[i] = trk.inlier_ratio
             k = min(len(trk.keypoints), k_cap)
             self.overflow.bump('keypoints_clipped',
@@ -610,56 +1016,38 @@ class MultiTracker:
                 fsum[i] = trk.avg_feat.sum
                 fcnt[i] = trk.avg_feat.count
         self._dev_state = jax.device_put(
-            (means, covs, tlbrs, valid, ages, inl, kps, kpv, fsum, fcnt))
-        self._ensure_hist_store()
-        self._quarantined.clear()
+            (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+             lost_pending, inl, kps, kpv, fsum, fcnt))
+        self._ensure_hist_store(reset=True)
         self._mirrors_dirty = False
 
-    def _ensure_hist_store(self):
-        if self._hist_store is None:
+    def _ensure_hist_store(self, reset=False):
+        if self._hist_store is not None and not reset:
+            return
+        h = self._hist_cap
+        hist_sum = np.zeros((h, FEAT_DIM), np.float32)
+        hist_count = np.zeros(h, np.float32)
+        h_labels = np.full(h, -2, np.int32)
+        h_valid = np.zeros(h, bool)
+        h_lru = np.zeros(h, np.int32)
+        h_hits = np.zeros(h, np.int32)
+        if reset:
+            # rebuild from host mirrors (the features themselves live in
+            # the track objects only when the host path supplied them)
+            self._hist_slot_tid = {}
+            for s, (tid, trk) in enumerate(
+                    list(self.hist_tracks.items())[:h]):
+                if trk.avg_feat.sum is not None:
+                    hist_sum[s] = trk.avg_feat.sum
+                hist_count[s] = trk.avg_feat.count
+                h_labels[s] = trk.label
+                h_valid[s] = True
+                h_lru[s] = trk.end_frame
+                h_hits[s] = trk.hits
+                self._hist_slot_tid[s] = tid
+        if self._hist_store is None or reset:
             self._hist_store = jax.device_put(
-                (np.zeros((self._hist_cap, FEAT_DIM), np.float32),
-                 np.zeros(self._hist_cap, np.float32)))
-
-    def _retire(self, trk_id, slot):
-        """Move a live track to reID history; its device feature slot is
-        quarantined until the next association saves it (tracker.py:295-300
-        _mark_lost)."""
-        track = self.tracks.pop(trk_id)
-        if slot is not None:
-            self._slot_ids[slot] = None
-        if track.confirmed:
-            self.hist_tracks[trk_id] = track
-            if slot is not None:
-                self._quarantined.add(slot)
-                self._hist_slot[trk_id] = -slot - 1  # pending marker
-            if len(self.hist_tracks) > self.history_size:
-                old_id, _ = self.hist_tracks.popitem(last=False)
-                self._hist_slot.pop(old_id, None)
-
-    def _alloc_hist_slot(self, trk_id):
-        used = {s for s in self._hist_slot.values() if s >= 0}
-        for s in range(self._hist_cap):
-            if s not in used:
-                self._hist_slot[trk_id] = s
-                return s
-        # capacity full: steal the oldest history entry's slot
-        self.overflow.bump('hist_slots_stolen')
-        for old_id in list(self.hist_tracks.keys()):
-            s = self._hist_slot.get(old_id, -1)
-            if s >= 0 and old_id != trk_id:
-                self.hist_tracks.pop(old_id, None)
-                self._hist_slot.pop(old_id, None)
-                self._hist_slot[trk_id] = s
-                return s
-        self._hist_slot[trk_id] = 0
-        return 0
-
-    def _free_slot(self):
-        for i, tid in enumerate(self._slot_ids):
-            if tid is None and i not in self._quarantined:
-                return i
-        return None
+                (hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits))
 
     def _invalidate_device_state(self):
         self._dev_state = None
@@ -712,353 +1100,20 @@ class MultiTracker:
             if ios_vals[i] < 0.5:
                 if track.confirmed:
                     LOGGER.info(f"{'Out:':<14}{track}")
-                self._retire(tid, None)
-
-    # -- association ----------------------------------------------------------
-
-    def update(self, frame_id, detections, embeddings):
-        """Host-array association entry (PublicDetector-style recarrays).
-        Wraps the device path (tracker.py:185-293)."""
-        n_det = min(len(detections), MAX_DETS)
-        self.overflow.bump('detections_clipped', len(detections) - MAX_DETS)
-        feat_dim = embeddings.shape[1] if embeddings is not None and \
-            getattr(embeddings, 'ndim', 0) == 2 and embeddings.shape[0] \
-            else FEAT_DIM
-        d_tlbrs = np.zeros((MAX_DETS, 4), np.float32)
-        d_labels = np.full(MAX_DETS, -1, np.int32)
-        d_conf = np.zeros(MAX_DETS, np.float32)
-        d_valid = np.zeros(MAX_DETS, bool)
-        d_emb = np.zeros((MAX_DETS, feat_dim), np.float32)
-        if n_det:
-            d_tlbrs[:n_det] = detections.tlbr[:n_det]
-            d_labels[:n_det] = detections.label[:n_det]
-            d_conf[:n_det] = detections.conf[:n_det]
-            d_valid[:n_det] = True
-            if embeddings is not None and len(embeddings):
-                d_emb[:n_det] = embeddings[:n_det]
-        det_dev = tuple(jnp.asarray(a) for a in
-                        (d_tlbrs, d_labels, d_conf, d_valid))
-        # host path keeps the appearance mirrors authoritative so legacy
-        # API users (and mixed host/device usage) see real avg_feat values
-        self._host_emb = d_emb
-        self.update_device(frame_id, det_dev, jnp.asarray(d_emb))
-
-    def update_device(self, frame_id, det_dev, emb_dev):
-        """Device-array association: two batched readbacks total."""
-        token = self.update_device_begin(frame_id, det_dev, emb_dev)
-        fetched = jax.device_get(token['fetch'])
-        token2 = self.update_device_mid(token, fetched)
-        fetched2 = np.asarray(token2['fetch'])
-        self.update_device_end(token2, fetched2)
-
-    def update_device_begin(self, frame_id, det_dev, emb_dev):
-        """Phase A: dispatch the cascade kernel; returns a token whose
-        ``fetch`` pytree (gap infos + cascade decisions + det arrays) a
-        driver may batch into one device_get across many trackers."""
-        host_emb = getattr(self, '_host_emb', None)
-        self._host_emb = None
-        if self._dev_state is None or self._mirrors_dirty:
-            self._upload_state()
-        self._ensure_hist_store()
-        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = det_dev
-        (means, covs, tlbrs, dev_valid, dv_ages, dv_inl, kps, kpv,
-         feat_sum, feat_count) = self._dev_state
-        hist_sum, hist_count = self._hist_store
-
-        # small host-known masks (labels/ages are host-authoritative)
-        t_labels = np.full(MAX_TRACKS, -2, np.int32)
-        t_depth = np.zeros(MAX_TRACKS, np.int32)
-        t_confirmed = np.zeros(MAX_TRACKS, bool)
-        t_active = np.zeros(MAX_TRACKS, bool)
-        t_live = np.zeros(MAX_TRACKS, bool)
-        for i, tid in enumerate(self._slot_ids):
-            if tid is None or tid not in self.tracks:
-                continue
-            trk = self.tracks[tid]
-            t_labels[i] = trk.label
-            t_depth[i] = trk.age // 2
-            t_confirmed[i] = trk.confirmed
-            t_active[i] = trk.active
-            t_live[i] = True
-
-        hist_ids = [tid for tid, track in self.hist_tracks.items()
-                    if track.avg_feat.count >= 2]
-        h_labels = np.full(self._hist_cap, -2, np.int32)
-        h_valid = np.zeros(self._hist_cap, bool)
-        hist_of_slot = {}
-        for tid in hist_ids:
-            s = self._hist_slot.get(tid, -1)
-            if s >= 0:
-                h_labels[s] = self.hist_tracks[tid].label
-                h_valid[s] = True
-                hist_of_slot[s] = tid
-
-        n_depth = (self.max_age + 2) // 2
-        fill_val = min(self.max_assoc_cost + 0.1, 1.0)
-        # ONE batched host->device transfer for all the small mask arrays
-        # (each separate upload pays the platform's fixed transfer latency)
-        (t_labels_d, t_depth_d, t_confirmed_d, t_active_d, t_live_d,
-         h_labels_d, h_valid_d) = jax.device_put(
-            (t_labels, t_depth, t_confirmed, t_active, t_live,
-             h_labels, h_valid))
-        out = _cascade_kernel(
-            self.kf_cfg, self.metric, n_depth, self.motion_weight,
-            self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
-            self.occlusion_thresh, self.conf_thresh, self.max_reid_cost,
-            1.0 - self.duplicate_thresh,
-            means, covs, tlbrs, dev_valid, feat_sum, feat_count,
-            t_labels_d, t_depth_d, t_confirmed_d, t_active_d, t_live_d,
-            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            hist_sum, hist_count, h_labels_d, h_valid_d)
-
-        pending_infos = [info for _, info in self._pending]
-        return {
-            'frame_id': frame_id,
-            'fetch': (pending_infos, out, d_tlbrs_dev, d_labels_dev,
-                      d_conf_dev),
-            'det_dev': det_dev,
-            'emb_dev': emb_dev,
-            'host_emb': host_emb,
-            'hist_of_slot': hist_of_slot,
-            'state': (means, covs, tlbrs, dev_valid, dv_ages, dv_inl,
-                      kps, kpv, feat_sum, feat_count),
-            'hist_store': (hist_sum, hist_count),
-        }
-
-    def update_device_mid(self, token, fetched):
-        """Phase B: consume phase-A data, make the association decisions,
-        dispatch the commit kernel; ``token['fetch']`` of the result is
-        the commit info vector for the final batched readback."""
-        frame_id = token['frame_id']
-        host_emb = token['host_emb']
-        hist_of_slot = token['hist_of_slot']
-        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = token['det_dev']
-        emb_dev = token['emb_dev']
-        (means, covs, tlbrs, dev_valid, dv_ages, dv_inl, kps, kpv,
-         feat_sum, feat_count) = token['state']
-        hist_sum, hist_count = token['hist_store']
-
-        infos, cascade_out, d_tlbrs, d_labels, d_conf = fetched
-        self.sync(infos=infos)
-        occluded, col4row, u_det_conf, reid_c4r, rect_c4r = cascade_out
-        d_tlbrs = d_tlbrs.astype(np.float32)
-
-        # NOTE: sync() may have retired tracks (gap-frame losses) or
-        # cleared everything (camera failure); mask decisions accordingly
-        slot_ids = self._slot_ids
-
-        matches = {}
-        u_trk = set()
-        for i, tid in enumerate(slot_ids):
-            if tid is None or tid not in self.tracks:
-                continue
-            if col4row[i] >= 0:
-                matches[i] = int(col4row[i])
-            else:
-                u_trk.add(i)
-
-        # reID decisions
-        reid_matches = []   # (trk_id, det_id, hist_slot)
-        reid_taken = set()
-        for s in range(self._hist_cap):
-            j = int(reid_c4r[s])
-            if j >= 0 and s in hist_of_slot:
-                tid = hist_of_slot[s]
-                if tid in self.hist_tracks:
-                    reid_matches.append((tid, j, s))
-                    reid_taken.add(j)
-        invalid_u_det = [int(j) for j in np.flatnonzero(u_det_conf & occluded)]
-        reid_u_det = [int(j) for j in np.flatnonzero(u_det_conf & ~occluded)
-                      if j not in reid_taken]
-
-        # rectify (tracker.py:387-401)
-        merge_src = np.full(MAX_TRACKS, -1, np.int32)
-        for i, u_tid in enumerate(slot_ids):
-            jcol = int(rect_c4r[i])
-            if jcol < 0 or u_tid is None or i not in u_trk:
-                continue
-            m_tid = slot_ids[jcol] if jcol < len(slot_ids) else None
-            if m_tid is None or jcol not in matches or \
-                    m_tid not in self.tracks or u_tid not in self.tracks:
-                continue
-            det_id = matches[jcol]
-            t_u = self.tracks[u_tid]
-            t_m = self.tracks[m_tid]
-            if t_m.end_frame < t_u.start_frame:
-                LOGGER.debug(f"{'Merged:':<14}{u_tid} -> {m_tid}")
-                t_m.merge_continuation(t_u)
-                merge_src[jcol] = i
-                u_trk.discard(i)
-                del self.tracks[u_tid]
-                self._slot_ids[i] = None
-            else:
-                LOGGER.debug(f"{'Duplicate:':<14}{m_tid} -> {u_tid}")
-                u_trk.discard(i)
-                u_trk.add(jcol)
-                matches[i] = det_id
-                del matches[jcol]
-
-        # unmatched tracks age / die (tracker.py:274-284)
-        match_det = np.full(MAX_TRACKS, -1, np.int32)
-        feat_ok = np.zeros(MAX_TRACKS, bool)
-        new_ages = np.zeros(MAX_TRACKS, np.int32)
-        new_valid = np.zeros(MAX_TRACKS, bool)
-        hist_dst = np.full(MAX_TRACKS, -1, np.int32)
-        for i, det_id in matches.items():
-            match_det[i] = det_id
-            feat_ok[i] = not occluded[det_id]
-            new_valid[i] = True
-            new_ages[i] = 0
-        for i in list(u_trk):
-            tid = slot_ids[i]
-            track = self.tracks[tid]
-            track.mark_missed()
-            if not track.confirmed:
-                LOGGER.debug(f"{'Unconfirmed:':<14}{track}")
-                del self.tracks[tid]
-                self._slot_ids[i] = None
-                continue
-            if track.age > self.max_age:
-                LOGGER.info(f"{'Lost:':<14}{track}")
-                self._retire(tid, i)
-                continue
-            new_valid[i] = True
-            new_ages[i] = track.age
-
-        # assign history slots: quarantined live-feature slots save now
-        for s in list(self._quarantined):
-            # find which hist track points at this pending slot
-            for tid, marker in list(self._hist_slot.items()):
-                if marker == -s - 1:
-                    if tid in self.hist_tracks:
-                        dst = self._alloc_hist_slot(tid)
-                        hist_dst[s] = dst
-                    else:
-                        self._hist_slot.pop(tid, None)
-            self._quarantined.discard(s)
-
-        # reinstates + new tracks get slots
-        reinstate_hist = np.full(MAX_TRACKS, -1, np.int32)
-        create_det = np.full(MAX_TRACKS, -1, np.int32)
-        reinstated = []
-        for tid, det_id, hslot in reid_matches:
-            slot = self._free_slot()
-            if slot is None:
-                self.overflow.bump('track_slots_exhausted')
-                break
-            track = self.hist_tracks.pop(tid)
-            self._hist_slot.pop(tid, None)
-            LOGGER.info(f"{'Reidentified:':<14}{track}")
-            track.reinstate(frame_id, d_tlbrs[det_id].astype(np.float64),
-                            track.state,
-                            host_emb[det_id] if host_emb is not None else None)
-            if host_emb is None:
-                track.avg_feat.count += 1  # device side adds the embedding
-            self.tracks[tid] = track
-            self._slot_ids[slot] = tid
-            create_det[slot] = det_id
-            reinstate_hist[slot] = hslot
-            new_valid[slot] = True
-            new_ages[slot] = 0
-            reinstated.append((slot, tid))
-
-        new_tracks = []
-        for det_id in invalid_u_det + reid_u_det:
-            slot = self._free_slot()
-            if slot is None:
-                self.overflow.bump('track_slots_exhausted')
-                break
-            new_trk = Track(frame_id, d_tlbrs[det_id].astype(np.float64),
-                            None, int(d_labels[det_id]), self.confirm_hits)
-            self.tracks[new_trk.trk_id] = new_trk
-            self._slot_ids[slot] = new_trk.trk_id
-            create_det[slot] = det_id
-            new_valid[slot] = True
-            new_ages[slot] = 0
-            new_tracks.append((slot, new_trk.trk_id))
-            LOGGER.debug(f"{'Detected:':<14}{new_trk}")
-
-        # commit: one dispatch + readback 2
-        (merge_src_d, hist_dst_d, reinstate_hist_d, match_det_d,
-         feat_ok_d, create_det_d, new_ages_d, new_valid_d) = jax.device_put(
-            (merge_src, hist_dst, reinstate_hist, match_det,
-             feat_ok, create_det, new_ages, new_valid))
-        new_state, self._hist_store, commit_info = _commit_kernel(
-            self.kf_cfg, means, covs, tlbrs, dev_valid, dv_ages, dv_inl,
-            kps, kpv, feat_sum, feat_count, hist_sum, hist_count,
-            d_tlbrs_dev, emb_dev,
-            merge_src_d, hist_dst_d, reinstate_hist_d, match_det_d,
-            feat_ok_d, create_det_d, new_ages_d, new_valid_d,
-            self._frame_rect_dev)
-        self._dev_state = new_state
-        return {
-            'fetch': commit_info,
-            'frame_id': frame_id,
-            'host_emb': host_emb,
-            'slot_ids': slot_ids,
-            'matches': matches,
-            'occluded': occluded,
-            'feat_ok': feat_ok,
-            'reinstated': reinstated,
-            'new_tracks': new_tracks,
-        }
-
-    def update_device_end(self, token, flat):
-        """Phase C: apply the commit results to the host Track mirrors."""
-        frame_id = token['frame_id']
-        host_emb = token['host_emb']
-        slot_ids = token['slot_ids']
-        matches = token['matches']
-        occluded = token['occluded']
-        feat_ok = token['feat_ok']
-        reinstated = token['reinstated']
-        new_tracks = token['new_tracks']
-        t = MAX_TRACKS
-        next_tlbrs = flat[:t * 4].reshape(t, 4).astype(np.float64)
-        out_of_frame = flat[t * 4:t * 5] > 0.5
-        cm = flat[t * 5:t * 5 + t * 8].reshape(t, 8)
-        cc = flat[t * 5 + t * 8:].reshape(t, 8, 8)
-
-        # host mirror application
-        for i, det_id in matches.items():
-            tid = slot_ids[i]
-            track = self.tracks.get(tid)
-            if track is None:
-                continue
-            is_valid = bool(feat_ok[i])
-            if track.hits == self.confirm_hits - 1:
-                LOGGER.info(f"{'Found:':<14}{track}")
-            if out_of_frame[i]:
-                is_valid = False
-                if track.confirmed:
-                    LOGGER.info(f"{'Out:':<14}{track}")
-            track.add_detection(frame_id, next_tlbrs[i], (cm[i], cc[i]),
-                                host_emb[det_id] if host_emb is not None
-                                else None, is_valid and host_emb is not None)
-            if is_valid and host_emb is None:
-                track.avg_feat.count += 1  # features live on device
-            if out_of_frame[i]:
-                self._retire(tid, i)
-        for slot, tid in reinstated + new_tracks:
-            track = self.tracks.get(tid)
-            if track is None:
-                continue
-            track.state = (cm[slot], cc[slot])
-            track.bboxes[-1] = next_tlbrs[slot]
-            if out_of_frame[slot]:
-                if track.confirmed:
-                    LOGGER.info(f"{'Out:':<14}{track}")
-                self._retire(tid, slot)
-
-        self._mirrors_dirty = False
+                    self.hist_tracks[tid] = self.tracks.pop(tid)
+                    self._trim_hist()
+                else:
+                    del self.tracks[tid]
 
     # -- helpers --------------------------------------------------------------
 
     def _mark_lost(self, trk_id):
         """Legacy helper (tracker.py:295-300)."""
-        slot = self._slot_ids.index(trk_id) \
-            if trk_id in self._slot_ids else None
-        self._retire(trk_id, slot)
+        track = self.tracks.pop(trk_id)
+        if track.confirmed:
+            self.hist_tracks[trk_id] = track
+            self._trim_hist()
+        self._mirrors_dirty = True
 
     def _group_tracks_by_depth(self, group_size=2):
         n_depth = (self.max_age + group_size) // group_size

@@ -68,10 +68,41 @@ def test_tracks_clipped_on_upload(rng):
 
 
 def test_hist_slot_steal_counted(rng):
-    trk = _tracker()
-    trk._hist_slot = {i: i for i in range(trk._hist_cap)}
-    trk._alloc_hist_slot(10_000)
-    assert trk.overflow['hist_slots_stolen'] == 1
+    """A history save into a full store steals the oldest entry; the
+    association kernel reports it in the info head (overflow counter)."""
+    import jax.numpy as jnp
+    from fastmot_tpu.kalman import KalmanConfig
+    from fastmot_tpu.ops.distance import Metric
+    from fastmot_tpu.tracker import _assoc_kernel
+
+    T, D, H, F = 8, 8, 4, 16
+    cfg = KalmanConfig()
+    tlbrs = jnp.tile(jnp.array([10.0, 10.0, 40.0, 80.0]), (T, 1))
+    means = jnp.concatenate([tlbrs, jnp.zeros((T, 4))], 1)
+    covs = jnp.tile(jnp.eye(8) * 4.0, (T, 1, 1))
+    valid = jnp.arange(T) < 1            # one live confirmed track
+    state = (means.astype(jnp.float32), covs.astype(jnp.float32),
+             tlbrs.astype(jnp.float32), valid,
+             jnp.full(T, 6, jnp.int32),  # age = max_age -> ages out now
+             jnp.full(T, 3, jnp.int32), jnp.ones(T, jnp.int32),
+             jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
+             jnp.zeros(T, bool), jnp.ones(T, jnp.float32),
+             jnp.zeros((T, 4, 2), jnp.float32), jnp.zeros((T, 4), bool),
+             jnp.ones((T, F), jnp.float32), jnp.full(T, 3.0))
+    hist = (jnp.ones((H, F), jnp.float32), jnp.full(H, 3.0),
+            jnp.full(H, 7, jnp.int32), jnp.ones(H, bool),
+            jnp.zeros(H, jnp.int32), jnp.full(H, 3, jnp.int32))
+    # no detections: the lone track ages out and must save into the FULL
+    # history store -> one steal
+    dets = (jnp.zeros((D, 4), jnp.float32), jnp.full(D, -1, jnp.int32),
+            jnp.zeros(D, jnp.float32), jnp.zeros(D, bool),
+            jnp.zeros((D, F), jnp.float32))
+    _, _, info = _assoc_kernel(
+        cfg, Metric.EUCLIDEAN, 4, 0.2, 0.9, 0.6, 1.0, 0.7, 0.5, 0.45, 0.2,
+        1, 6, H, state, hist, *dets, jnp.int32(10),
+        jnp.array([0.0, 0.0, 639.0, 479.0]))
+    stolen = int(np.asarray(info)[2])
+    assert stolen == 1
 
 
 def test_overflow_warns_once(rng, caplog):
