@@ -166,6 +166,7 @@ def main_streams(n_streams: int):
                          yolo_detector_cfg={'model': 'YOLOv4',
                                             'min_aspect_ratio': 1.2})
     real_post = mot.detector.postprocess
+    real_post_dev = mot.detector.postprocess_device_batch
     state = {'i': 0}
 
     def patched():
@@ -173,7 +174,27 @@ def main_streams(n_streams: int):
         det = synth_detections(state['i'], rng)
         return [det for _ in range(n_streams)]
 
+    def synth_device_batch(i):
+        det = synth_detections(i, rng)
+        tlbrs = np.zeros((MAX_DETS, 4), np.float32)
+        labels = np.full(MAX_DETS, -1, np.int32)
+        confs = np.zeros(MAX_DETS, np.float32)
+        valid = np.zeros(MAX_DETS, bool)
+        n = len(det)
+        tlbrs[:n] = det.tlbr
+        labels[:n] = det.label
+        confs[:n] = det.conf
+        valid[:n] = True
+        rep = lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                         (n_streams,) + a.shape)
+        return rep(tlbrs), rep(labels), rep(confs), rep(valid)
+
+    def patched_dev():
+        real_post_dev()   # keep the real batched graph in the pipeline
+        return synth_device_batch(state['i'])
+
     mot.detector.postprocess = patched
+    mot.detector.postprocess_device_batch = patched_dev
     mot.reset(1 / 30.0)
 
     n_bench = 60
@@ -186,8 +207,7 @@ def main_streams(n_streams: int):
     for i in range(n_bench):
         state['i'] = i
         mot.step([frames[12 + i]] * n_streams)
-    for trk in mot.trackers:
-        trk.sync()
+    mot.sync()
     elapsed = time.perf_counter() - t0
     fps = n_bench * n_streams / elapsed
     print(json.dumps({

@@ -87,8 +87,7 @@ def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
     return chunks.reshape(n_chunks * cs, oh, ow, 3)[:n]
 
 
-@partial(jax.jit, static_argnames=('module', 'out_hw'))
-def _extract_kernel(module, out_hw, params, frame, tlbrs, valid):
+def _extract_core(module, out_hw, params, frame, tlbrs, valid):
     """Fused crop -> resize -> normalize -> OSNet -> L2 normalize."""
     f = frame.astype(jnp.float32)
     crops = crop_resize_batch(f, tlbrs, out_hw)
@@ -100,6 +99,18 @@ def _extract_kernel(module, out_hw, params, frame, tlbrs, valid):
     norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
     emb = emb / jnp.where(norm > 0, norm, 1.0)
     return jnp.where(valid[:, None], emb, 0.0)
+
+
+_extract_kernel = partial(jax.jit, static_argnames=('module', 'out_hw'))(
+    _extract_core)
+
+
+@partial(jax.jit, static_argnames=('module', 'out_hw'))
+def _extract_batch_kernel(module, out_hw, params, frames, tlbrs, valid):
+    """Stream-batched variant: all S streams' crops share one OSNet batch
+    (vmap lifts the network to an [S*D] effective batch). [S, D, F]."""
+    f = partial(_extract_core, module, out_hw, params)
+    return jax.vmap(f)(frames, tlbrs, valid)
 
 
 class FeatureExtractor:
@@ -150,6 +161,14 @@ class FeatureExtractor:
         self._pending = _extract_kernel(
             self.module, self._out_hw, self.params,
             frame_dev, tlbrs_dev, valid_dev)
+
+    def extract_async_batch(self, frames_dev, tlbrs_dev, valid_dev):
+        """Stream-batched device variant: frames [S, H, W, 3], boxes
+        [S, D, 4], valid [S, D] -> pending [S, D, F] embeddings."""
+        self._n = int(tlbrs_dev.shape[0]) * int(tlbrs_dev.shape[1])
+        self._pending = _extract_batch_kernel(
+            self.module, self._out_hw, self.params,
+            frames_dev, tlbrs_dev, valid_dev)
 
     def postprocess(self):
         """Block on the dispatched extraction; [N, D] float32."""

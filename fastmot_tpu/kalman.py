@@ -9,43 +9,36 @@ kalman_filter.py:294-306), size-proportional acceleration process noise
 compensation (:227-292).
 
 TPU-first inversions relative to the reference:
-  * Every operation is written for a single state and lifted over the
-    fixed-capacity track axis with ``jax.vmap`` — the tracker runs one
-    fused predict/update for *all* tracks per frame instead of a Python
-    loop per track.
+  * Every operation is written batch-polymorphically over leading dims:
+    the same ``predict``/``update``/``warp`` run one state or the whole
+    fixed-capacity track axis — the tracker runs one fused
+    predict/update for *all* tracks per frame instead of a Python loop
+    per track.
+  * All covariance algebra is broadcast-multiply-reduce on the VPU
+    (ops/smallmat.py) — a batched ``dot_general``/``linalg.solve`` over
+    [T, 8, 8] tiles lowers to one MXU pass (or LU loop) PER TRACK on
+    TPU, measured at ~11 ms per gap frame in round 2; the elementwise
+    forms run in microseconds, in full float32 (better than the bf16
+    matmul default, which corrupted the Mahalanobis gate in round 1).
   * The warp Jacobian is not hand-derived: the warp of the mean is a pure
     function (homography pushforward of the two corners and their
     velocities) and ``jax.jacfwd`` supplies the exact 8x8 Jacobian used
     for covariance propagation. This reproduces the reference's analytic
     F (kalman_filter.py:253-291) to machine precision.
   * float32 everywhere (the reference is float64 on CPU); the update step
-    uses ``jnp.linalg.solve`` on 4x4 systems, batched.
+    solves its 4x4 systems by statically unrolled Cholesky.
 """
 from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _f32_matmul(fn):
-    """Pin float32 matmul precision inside ``fn``.
-
-    TPU matmuls default to bfloat16 inputs; the KF covariance algebra
-    (8x8 / 4x4 systems) silently loses ~3 decimal digits at that
-    precision — enough to corrupt the Mahalanobis gate. These matrices
-    are tiny, so full float32 passes cost nothing.
-    """
-    @functools.wraps(fn)
-    def wrapper(*args, **kwargs):
-        with jax.default_matmul_precision('float32'):
-            return fn(*args, **kwargs)
-    return wrapper
+from .ops import smallmat as sm
 
 
 class MeasType(enum.Enum):
@@ -102,48 +95,53 @@ def init_mats(cfg: KalmanConfig, dt: float) -> tuple[jax.Array, jax.Array, jax.A
 
 
 def _size(tlbr: jax.Array) -> tuple[jax.Array, jax.Array]:
-    return tlbr[2] - tlbr[0] + 1.0, tlbr[3] - tlbr[1] + 1.0
+    return (tlbr[..., 2] - tlbr[..., 0] + 1.0,
+            tlbr[..., 3] - tlbr[..., 1] + 1.0)
 
 
 def create(cfg: KalmanConfig, det_tlbr: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """State from an unassociated detection (kalman_filter.py:96-126)."""
-    mean = jnp.concatenate([det_tlbr, jnp.zeros(4, det_tlbr.dtype)])
+    """State from an unassociated detection (kalman_filter.py:96-126).
+
+    Batch-polymorphic: det_tlbr [..., 4] -> ([..., 8], [..., 8, 8]).
+    """
+    det_tlbr = det_tlbr.astype(jnp.float32)
+    mean = jnp.concatenate([det_tlbr, jnp.zeros_like(det_tlbr)], axis=-1)
     w, h = _size(det_tlbr)
     sf = jnp.array([cfg.std_factor_det[0], cfg.std_factor_det[1]] * 4,
                    dtype=jnp.float32)
-    wh = jnp.array([1.0, 0.0] * 4, dtype=jnp.float32) * w + \
-         jnp.array([0.0, 1.0] * 4, dtype=jnp.float32) * h
+    wh = jnp.array([1.0, 0.0] * 4, dtype=jnp.float32) * w[..., None] + \
+         jnp.array([0.0, 1.0] * 4, dtype=jnp.float32) * h[..., None]
     weight = jnp.array([cfg.init_pos_weight] * 4 + [cfg.init_vel_weight] * 4,
                        dtype=jnp.float32)
     min_std = jnp.array([cfg.min_std_det[0], cfg.min_std_det[1]] * 4,
                         dtype=jnp.float32)
     std = jnp.maximum(weight * sf * wh, min_std)
-    cov = jnp.diag(std * std)
-    return mean.astype(jnp.float32), cov
+    cov = jnp.eye(8, dtype=jnp.float32) * (std * std)[..., None, :]
+    return mean, cov
 
 
-@_f32_matmul
 def predict(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
             trans_mat: jax.Array, acc_cov: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Prediction step with size-scaled process noise (kalman_filter.py:308-319)."""
-    w, h = _size(mean[:4])
+    w, h = _size(mean[..., :4])
     size = jnp.maximum(w, h)
     std = cfg.std_factor_acc * size + cfg.std_offset_acc
-    motion_cov = acc_cov * (std * std)
-    mean = trans_mat @ mean
-    cov = trans_mat @ cov @ trans_mat.T + motion_cov
-    return mean, 0.5 * (cov + cov.T)
+    motion_cov = acc_cov * (std * std)[..., None, None]
+    mean = sm.bmv(trans_mat, mean)
+    cov = sm.quad_form(trans_mat, cov) + motion_cov
+    return mean, 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
 
 
 def _meas_std(cfg: KalmanConfig, mean4: jax.Array, meas_type_flow: jax.Array,
-              multiplier: jax.Array) -> jax.Array:
+              multiplier) -> jax.Array:
     """Size-scaled measurement noise std, per source (kalman_filter.py:321-331).
 
     ``meas_type_flow`` is a traced boolean (True = FLOW, False = DETECTOR)
     so a single compiled update handles both measurement sources.
+    Batch-polymorphic: mean4 [..., 4] -> [..., 4].
     """
-    w = mean4[2] - mean4[0] + 1.0
-    h = mean4[3] - mean4[1] + 1.0
+    w = mean4[..., 2] - mean4[..., 0] + 1.0
+    h = mean4[..., 3] - mean4[..., 1] + 1.0
     sf_w = jnp.where(meas_type_flow, cfg.std_factor_klt[0], cfg.std_factor_det[0])
     sf_h = jnp.where(meas_type_flow, cfg.std_factor_klt[1], cfg.std_factor_det[1])
     mn_w = jnp.where(meas_type_flow, cfg.min_std_klt[0], cfg.min_std_det[0])
@@ -151,46 +149,47 @@ def _meas_std(cfg: KalmanConfig, mean4: jax.Array, meas_type_flow: jax.Array,
     std = jnp.stack([jnp.maximum(sf_w * w, mn_w),
                      jnp.maximum(sf_h * h, mn_h),
                      jnp.maximum(sf_w * w, mn_w),
-                     jnp.maximum(sf_h * h, mn_h)])
-    return std * multiplier
+                     jnp.maximum(sf_h * h, mn_h)], axis=-1)
+    return std * jnp.asarray(multiplier, jnp.float32)[..., None]
 
 
 def project(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
             meas_type_flow: jax.Array,
-            multiplier: jax.Array = jnp.float32(1.0)) -> tuple[jax.Array, jax.Array]:
+            multiplier=1.0) -> tuple[jax.Array, jax.Array]:
     """Project state to measurement space (kalman_filter.py:149-178, 321-336)."""
-    std = _meas_std(cfg, mean[:4], meas_type_flow, multiplier)
-    meas_cov = jnp.diag(std * std)
-    proj_mean = mean[:4]
-    proj_cov = cov[:4, :4] + meas_cov
+    std = _meas_std(cfg, mean[..., :4], meas_type_flow, multiplier)
+    meas_cov = jnp.eye(4, dtype=jnp.float32) * (std * std)[..., None, :]
+    proj_mean = mean[..., :4]
+    proj_cov = cov[..., :4, :4] + meas_cov
     return proj_mean, proj_cov
 
 
-@_f32_matmul
 def update(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
            measurement: jax.Array, meas_type_flow: jax.Array,
-           multiplier: jax.Array = jnp.float32(1.0)) -> tuple[jax.Array, jax.Array]:
-    """Correction step (kalman_filter.py:180-204, 338-345)."""
+           multiplier=1.0) -> tuple[jax.Array, jax.Array]:
+    """Correction step (kalman_filter.py:180-204, 338-345).
+
+    The 4x4 innovation system is solved by statically unrolled Cholesky
+    (ops/smallmat.py) — batched jnp.linalg.solve loops per element on TPU.
+    """
     proj_mean, proj_cov = project(cfg, mean, cov, meas_type_flow, multiplier)
-    # kalman_gain [8, 4]: solve proj_cov @ X = (cov @ H^T)^T then transpose.
-    cov_ht = cov[:, :4]                       # cov @ meas_mat.T
-    gain = jnp.linalg.solve(proj_cov, cov_ht.T).T
+    cov_ht = cov[..., :, :4]                  # cov @ meas_mat.T: [..., 8, 4]
+    # kalman_gain [..., 8, 4]: solve proj_cov @ gain^T = cov_ht^T
+    gain_t = sm.chol_solve4(proj_cov, jnp.swapaxes(cov_ht, -1, -2))
+    gain = jnp.swapaxes(gain_t, -1, -2)
     innovation = measurement - proj_mean
-    new_mean = mean + gain @ innovation
-    new_cov = cov - gain @ proj_cov @ gain.T
+    new_mean = mean + sm.bmv(gain, innovation)
+    new_cov = cov - sm.quad_form(gain, proj_cov)
     return new_mean, new_cov
 
 
-@_f32_matmul
 def maha_distance(cfg: KalmanConfig, mean: jax.Array, cov: jax.Array,
                   measurements: jax.Array) -> jax.Array:
     """Squared Mahalanobis distance of N measurements to one state's
     detector-space distribution (kalman_filter.py:206-225, 347-353)."""
     proj_mean, proj_cov = project(cfg, mean, cov, jnp.bool_(False))
     diff = measurements - proj_mean[None, :]
-    chol = jnp.linalg.cholesky(proj_cov)
-    y = jax.scipy.linalg.solve_triangular(chol, diff.T, lower=True)
-    return jnp.sum(y * y, axis=0)
+    return sm.maha_sq_chol4(proj_cov, diff.T)
 
 
 def warp_mean_fn(mean: jax.Array, h_mat: jax.Array) -> jax.Array:
@@ -220,47 +219,52 @@ def warp_mean_fn(mean: jax.Array, h_mat: jax.Array) -> jax.Array:
     return jnp.concatenate([tl2, br2, vtl2, vbr2])
 
 
-@_f32_matmul
 def warp(mean: jax.Array, cov: jax.Array,
          h_mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Warp state distribution by a homography; covariance via the exact
     Jacobian from forward-mode autodiff (kalman_filter.py:227-292)."""
     new_mean = warp_mean_fn(mean, h_mat)
     jac = jax.jacfwd(warp_mean_fn)(mean, h_mat)
-    new_cov = jac @ cov @ jac.T
+    new_cov = sm.quad_form(jac, cov)
     return new_mean, new_cov
 
 
 # ---------------------------------------------------------------------------
 # Batched (track-axis) versions. Config is static; arrays carry the batch.
+# All core ops above are batch-polymorphic (smallmat broadcast forms), so
+# these stay thin: only the warp needs a vmap (for the per-track Jacobian).
 # ---------------------------------------------------------------------------
 
 def batched_create(cfg: KalmanConfig, det_tlbrs: jax.Array):
     """[N, 4] detections -> ([N, 8] means, [N, 8, 8] covariances)."""
-    return jax.vmap(partial(create, cfg))(det_tlbrs)
+    return create(cfg, det_tlbrs)
 
 
 def batched_predict(cfg: KalmanConfig, means: jax.Array, covs: jax.Array,
                     trans_mat: jax.Array, acc_cov: jax.Array):
-    return jax.vmap(lambda m, c: predict(cfg, m, c, trans_mat, acc_cov))(means, covs)
+    return predict(cfg, means, covs, trans_mat, acc_cov)
 
 
 def batched_update(cfg: KalmanConfig, means: jax.Array, covs: jax.Array,
                    measurements: jax.Array, meas_type_flow: jax.Array,
                    multipliers: jax.Array):
     """meas_type_flow and multipliers are per-track arrays."""
-    return jax.vmap(lambda m, c, z, f, mult: update(cfg, m, c, z, f, mult))(
-        means, covs, measurements, meas_type_flow, multipliers)
+    return update(cfg, means, covs, measurements, meas_type_flow,
+                  multipliers)
 
 
 def batched_warp(means: jax.Array, covs: jax.Array, h_mat: jax.Array):
-    return jax.vmap(lambda m, c: warp(m, c, h_mat))(means, covs)
+    new_means = jax.vmap(lambda m: warp_mean_fn(m, h_mat))(means)
+    jac = jax.vmap(lambda m: jax.jacfwd(warp_mean_fn)(m, h_mat))(means)
+    return new_means, sm.quad_form(jac, covs)
 
 
 def batched_maha_distance(cfg: KalmanConfig, means: jax.Array, covs: jax.Array,
                           measurements: jax.Array) -> jax.Array:
     """[T] states x [N, 4] measurements -> [T, N] squared Mahalanobis."""
-    return jax.vmap(lambda m, c: maha_distance(cfg, m, c, measurements))(means, covs)
+    proj_mean, proj_cov = project(cfg, means, covs, jnp.bool_(False))
+    diff = measurements[None, :, :] - proj_mean[:, None, :]      # [T, N, 4]
+    return sm.maha_sq_chol4(proj_cov, jnp.swapaxes(diff, -1, -2))
 
 
 class KalmanFilter:

@@ -262,17 +262,25 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
 
         # cv2 criteria (COUNT | EPS): iterate until every point's step
         # falls below eps or the count cap — typically ~3 rounds, and
-        # each round is one gather, the dominant per-frame cost
+        # each round is one gather, the dominant per-frame cost. The
+        # patch error is tracked INSIDE the loop (at the pre-step
+        # position) so no extra sample is needed after convergence; at
+        # convergence the step is < eps so the difference from the
+        # post-step error is negligible against max_error (cv2 reports
+        # the post-step error; only level 0's value is consumed, gated
+        # at spec.max_error=100 intensity units).
         eps2 = 0.03 * 0.03
 
         def cond(state):
-            v, active, it = state
+            v, active, it, err = state
             return jnp.any(active) & (it < spec.iters)
 
         def body(state):
-            v, active, it = state
+            v, active, it, err = state
             c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
             diff = t_patch - c_patch
+            err = jnp.where(active,
+                            jnp.mean(jnp.abs(diff), axis=1), err)
             bx = jnp.sum(diff * gx, axis=1)
             by = jnp.sum(diff * gy, axis=1)
             dx = (gyy * bx - gxy * by) / det_safe
@@ -284,14 +292,11 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
             take = (active & inv_ok)[:, None]
             v = v + jnp.where(take, step, 0.0)
             still = jnp.sum(step * step, axis=1) >= eps2
-            return v, active & inv_ok & still, it + 1
+            return v, active & inv_ok & still, it + 1, err
 
-        v, _, _ = jax.lax.while_loop(
-            cond, body, (g, jnp.ones(pts.shape[0], dtype=bool), 0))
-
-        # final error at this level (only level 0's value is reported)
-        c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
-        err = jnp.mean(jnp.abs(t_patch - c_patch), axis=1)
+        v, _, _, err = jax.lax.while_loop(
+            cond, body, (g, jnp.ones(pts.shape[0], dtype=bool), 0,
+                         jnp.zeros(pts.shape[0], jnp.float32)))
         ok = ok & inv_ok
 
         if level > 0:
@@ -335,9 +340,25 @@ def _dlt_rows(p, q):
 
 
 def _solve_dlt(a_mat):
-    """Null-space solution of A h = 0 via SVD (batched-safe)."""
-    _, _, vt = jnp.linalg.svd(a_mat, full_matrices=True)
-    return vt[..., -1, :]
+    """Least-squares solution of A h = 0 under the h22 = 1 gauge.
+
+    A [..., r, 9]: solve A[..., :8] h8 = -A[..., 8] via normal equations +
+    statically unrolled Cholesky. Equivalent to the SVD null-space up to
+    the gauge (Hartley normalization keeps h22 far from 0 for camera-like
+    homographies, and the DLT rows well-conditioned). Replaces batched
+    jnp.linalg.svd, whose Jacobi custom-calls measured ~6.5 ms per frame
+    on a v5e — the single largest cost of the gap-frame kernel.
+    Degenerate samples yield clamped garbage that scores ~0 inliers and
+    is discarded by the hypothesis argmax, like SVD's null vector would.
+    """
+    from . import smallmat as sm
+    a8 = a_mat[..., :, :8]
+    a9 = a_mat[..., :, 8]
+    n_mat = jnp.sum(a8[..., :, :, None] * a8[..., :, None, :], axis=-3)
+    n_mat = n_mat + 1e-8 * jnp.eye(8, dtype=a_mat.dtype)
+    rhs = -jnp.sum(a8 * a9[..., :, None], axis=-2)
+    h8 = sm.chol_solve(n_mat, rhs[..., None])[..., 0]
+    return jnp.concatenate([h8, jnp.ones_like(h8[..., :1])], axis=-1)
 
 
 def _apply_h(h_mat, pts):
@@ -478,7 +499,11 @@ def ransac_similarity(prev_pts, cur_pts, valid, key, inlier_thresh: int):
         m = m.at[2, 0].set(sx).at[2, 1].set(-sy).at[2, 2].set(sw)
         m = m.at[3, 0].set(sy).at[3, 1].set(sx).at[3, 3].set(sw)
         rhs = jnp.array([sxu, sxv, su, sv])
-        sol = jnp.linalg.solve(m + 1e-6 * jnp.eye(4), rhs)
+        # m is the (symmetric PSD) normal matrix of the similarity LS fit;
+        # unrolled Cholesky avoids the per-element LU loop of batched
+        # jnp.linalg.solve under the track vmap
+        from . import smallmat as sm
+        sol = sm.chol_solve(m + 1e-6 * jnp.eye(4), rhs[:, None])[:, 0]
         a_r, b_r, tx_r, ty_r = sol[0], sol[1], sol[2], sol[3]
         proj_x = a_r * px - b_r * py + tx_r
         proj_y = b_r * px + a_r * py + ty_r

@@ -1,14 +1,23 @@
 """Multi-stream MOT: several video streams tracked on one chip (or mesh).
 
 BASELINE config 5 ("8x 1080p streams batched per TPU chip"): the reference
-is strictly single-stream; here the detector runs as ONE batched graph
-over all streams' frames (a leading stream axis feeds the MXU far more
-efficiently than batch-1 convs), ReID crops from every stream share one
-OSNet batch, and the per-stream trackers' fused track-frame kernels are
-dispatched back-to-back — XLA's async dispatch pipelines them on device.
+is strictly single-stream; here EVERY stage runs once per frame for all S
+streams:
+
+  * the detector is ONE batched graph over all streams' frames (a leading
+    stream axis feeds the MXU far more efficiently than batch-1 convs),
+  * ReID crops from every stream share one OSNet batch
+    (``FeatureExtractor.extract_async_batch``),
+  * the tracker state itself carries a stream axis (``StreamTracker``):
+    the chained gap-frame kernel and the fused association kernel are
+    vmapped over [S, ...] state and dispatched ONCE — no per-stream host
+    Python in the frame loop (the round-1 per-stream-tracker design
+    flattened at ~1.4x going 1 -> 8 streams because of exactly that).
 
 All streams share the detector-skip schedule, mirroring the reference's
-frame loop semantics per stream.
+frame loop semantics per stream. Pass ``mesh`` (a jax Mesh with a
+'streams' axis) to shard the stream axis across chips — the streams are
+independent, so the frame loop needs zero cross-chip collectives.
 """
 from __future__ import annotations
 
@@ -21,8 +30,8 @@ import numpy as np
 from ..detector import MAX_RAW, MAX_DETS, _nms_and_gate, _resize_bilinear_rgb, \
     make_detections
 from ..feature_extractor import FeatureExtractor
-from ..tracker import MultiTracker
 from ..utils import Profiler
+from .stream_tracker import StreamTracker
 
 
 def _vars(cfg):
@@ -103,10 +112,11 @@ class BatchedYOLODetector:
 
 
 class MultiStreamMOT:
-    """S independent streams, batched perception, per-stream association.
+    """S independent streams, every stage batched over the stream axis.
 
     API: ``step(frames)`` where ``frames`` is a length-S list of BGR
-    frames; ``visible_tracks(s)`` per stream; ``reset(cap_dt)``.
+    frames (or an [S, H, W, 3] array); ``visible_tracks(s)`` per stream;
+    ``reset(cap_dt)``; ``sync()`` flushes deferred host bookkeeping.
     """
 
     def __init__(self, size, n_streams,
@@ -114,7 +124,8 @@ class MultiStreamMOT:
                  class_ids=(1,),
                  yolo_detector_cfg=None,
                  feature_extractor_cfgs=None,
-                 tracker_cfg=None):
+                 tracker_cfg=None,
+                 mesh=None):
         self.size = size
         self.n_streams = n_streams
         assert detector_frame_skip >= 1
@@ -126,57 +137,67 @@ class MultiStreamMOT:
         if feature_extractor_cfgs is None:
             feature_extractor_cfgs = ({'model': 'OSNet025'},)
         self.extractor = FeatureExtractor(**_vars(feature_extractor_cfgs[0]))
-        self.trackers = [MultiTracker(size, self.extractor.metric,
-                                      **_vars(tracker_cfg))
-                         for _ in range(n_streams)]
+        self.stream_tracker = StreamTracker(
+            size, self.extractor.metric, n_streams, mesh=mesh,
+            **_vars(tracker_cfg))
+        self._frame_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._frame_sharding = NamedSharding(mesh, P('streams'))
         self.frame_count = 0
 
+    @property
+    def trackers(self):
+        """Per-stream host mirrors (presentation shells)."""
+        return self.stream_tracker.trackers
+
     def visible_tracks(self, stream: int):
-        self.trackers[stream].sync()
-        return (t for t in self.trackers[stream].tracks.values()
-                if t.confirmed and t.active)
+        return self.stream_tracker.visible_tracks(stream)
+
+    def sync(self):
+        self.stream_tracker.sync()
 
     def reset(self, cap_dt):
         self.frame_count = 0
-        for trk in self.trackers:
-            trk.reset(cap_dt)
+        self.stream_tracker.reset(cap_dt)
+
+    def _stage_frames(self, frames):
+        if isinstance(frames, (list, tuple)):
+            assert len(frames) == self.n_streams
+            if all(isinstance(f, jax.Array) for f in frames):
+                stacked = jnp.stack(frames)
+            else:
+                stacked = jnp.asarray(np.stack(frames))
+        else:
+            stacked = jnp.asarray(frames)
+        if self._frame_sharding is not None:
+            stacked = jax.device_put(stacked, self._frame_sharding)
+        return stacked
 
     def step(self, frames):
-        assert len(frames) == self.n_streams
+        frames_dev = self._stage_frames(frames)
         if self.frame_count == 0:
-            self.detector.detect_async(np.stack(frames))
+            self.detector.detect_async(frames_dev)
             all_dets = self.detector.postprocess()
-            for s, trk in enumerate(self.trackers):
-                trk.init(frames[s], all_dets[s])
+            self.stream_tracker.init(frames_dev, all_dets)
         elif self.frame_count % self.detector_frame_skip == 0:
-            import jax
             with Profiler('preproc'):
-                self.detector.detect_async(jnp.stack(
-                    [jnp.asarray(f) for f in frames]))
+                self.detector.detect_async(frames_dev)
             with Profiler('detect'):
-                # chained flow+KF for every stream while the batched
-                # detector graph runs (all async dispatches)
-                for s, trk in enumerate(self.trackers):
-                    trk.track(frames[s])
-                tlbr_b, label_b, conf_b, valid_b = \
-                    self.detector.postprocess_device_batch()
+                # chained flow+KF for every stream (one dispatch) while
+                # the batched detector graph runs — all async
+                self.stream_tracker.track(frames_dev)
+                det_b = self.detector.postprocess_device_batch()
             with Profiler('extract'):
-                emb_dev = []
-                for s in range(self.n_streams):
-                    self.extractor.extract_async_device(
-                        jnp.asarray(frames[s]), tlbr_b[s], valid_b[s])
-                    emb_dev.append(self.extractor.postprocess_device())
+                self.extractor.extract_async_batch(
+                    frames_dev, det_b[0], det_b[3])
+                emb_b = self.extractor.postprocess_device()
             with Profiler('assoc'):
-                # all-device association: one dispatch per stream, ZERO
-                # blocking readbacks — decisions are made on device and
-                # replayed into the host mirrors at the next sync()
-                for s, trk in enumerate(self.trackers):
-                    det_dev = (tlbr_b[s], label_b[s], conf_b[s], valid_b[s])
-                    trk.update_device(self.frame_count, det_dev, emb_dev[s])
+                # one dispatch for ALL streams' associations; decisions
+                # are replayed into the host mirrors at the next sync()
+                self.stream_tracker.update_device(self.frame_count, det_b,
+                                                  emb_b)
         else:
             with Profiler('track'):
-                # async dispatch: the chained kernels for all streams
-                # overlap on device
-                for s, trk in enumerate(self.trackers):
-                    trk.track(frames[s])
+                self.stream_tracker.track(frames_dev)
         self.frame_count += 1

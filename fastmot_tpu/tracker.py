@@ -969,6 +969,15 @@ class MultiTracker:
     def _upload_state(self):
         """Build the device state from the host mirrors (cycle start or
         after legacy-path mutations). One batched H2D."""
+        self._dev_state = jax.device_put(self._host_state_arrays())
+        self._ensure_hist_store(reset=True)
+        self._mirrors_dirty = False
+
+    def _host_state_arrays(self):
+        """Compact the host Track mirrors into the padded state arrays
+        (the numpy image of the device state tuple). Also rebuilds the
+        slot table. Used by _upload_state and by the stream-axis tracker,
+        which stacks several trackers' arrays into one [S, ...] upload."""
         from .ops import flow_kernels as fk
         # pending infos refer to the pre-upload slot table; flush first
         self.sync()
@@ -1015,15 +1024,17 @@ class MultiTracker:
             if trk.avg_feat.sum is not None:
                 fsum[i] = trk.avg_feat.sum
                 fcnt[i] = trk.avg_feat.count
-        self._dev_state = jax.device_put(
-            (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
-             lost_pending, inl, kps, kpv, fsum, fcnt))
-        self._ensure_hist_store(reset=True)
-        self._mirrors_dirty = False
+        return (means, covs, tlbrs, valid, ages, hits, labels, start_f,
+                end_f, lost_pending, inl, kps, kpv, fsum, fcnt)
 
     def _ensure_hist_store(self, reset=False):
         if self._hist_store is not None and not reset:
             return
+        self._hist_store = jax.device_put(self._host_hist_arrays(reset))
+
+    def _host_hist_arrays(self, reset=False):
+        """Padded numpy image of the device history store; with ``reset``
+        the id<->slot map is rebuilt from the host mirrors."""
         h = self._hist_cap
         hist_sum = np.zeros((h, FEAT_DIM), np.float32)
         hist_count = np.zeros(h, np.float32)
@@ -1045,9 +1056,7 @@ class MultiTracker:
                 h_lru[s] = trk.end_frame
                 h_hits[s] = trk.hits
                 self._hist_slot_tid[s] = tid
-        if self._hist_store is None or reset:
-            self._hist_store = jax.device_put(
-                (hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits))
+        return (hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits)
 
     def _invalidate_device_state(self):
         self._dev_state = None
