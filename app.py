@@ -89,6 +89,23 @@ def main():
         import cv2
         cv2.namedWindow('Video', cv2.WINDOW_AUTOSIZE)
 
+    # buffered txt consumption: the tracker defers host bookkeeping until
+    # sync, so writing rows every frame would force a device round trip
+    # per frame; instead, snapshots for all buffered frames are fetched
+    # in one batch every TXT_FLUSH_FRAMES (byte-identical output,
+    # reference format app.py:92-97)
+    TXT_FLUSH_FRAMES = 30
+
+    def flush_txt():
+        for frame_id, rows in sorted(mot.flush_tracks().items()):
+            for trk_id, tlbr in rows:
+                tl = tlbr[:2] / config.resize_to * stream.resolution
+                br = tlbr[2:] / config.resize_to * stream.resolution
+                w, h = br - tl + 1
+                txt.write(f'{frame_id + 1},{trk_id},'
+                          f'{tl[0]:.6f},{tl[1]:.6f},{w:.6f},{h:.6f},'
+                          f'-1,-1,-1\n')
+
     logger.info('Starting video capture...')
     stream.start_capture()
     try:
@@ -104,14 +121,9 @@ def main():
 
                 if args.mot:
                     mot.step(frame)
-                    if txt is not None:
-                        for track in mot.visible_tracks():
-                            tl = track.tlbr[:2] / config.resize_to * stream.resolution
-                            br = track.tlbr[2:] / config.resize_to * stream.resolution
-                            w, h = br - tl + 1
-                            txt.write(f'{mot.frame_count},{track.trk_id},'
-                                      f'{tl[0]:.6f},{tl[1]:.6f},{w:.6f},{h:.6f},'
-                                      f'-1,-1,-1\n')
+                    if txt is not None and \
+                            mot.frame_count % TXT_FLUSH_FRAMES == 0:
+                        flush_txt()
 
                 if args.gui:
                     import cv2
@@ -122,6 +134,8 @@ def main():
                     stream.write(frame)
     finally:
         if txt is not None:
+            if args.mot:
+                flush_txt()
             txt.close()
         if args.gui:
             import cv2

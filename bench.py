@@ -101,9 +101,17 @@ def main():
         real_post()  # block on the real fused graph
         return synth_detections(state['i'], rng)
 
+    # pre-stage the synthetic detections on device: in the real pipeline
+    # the association consumes the YOLO graph's DEVICE output directly
+    # (zero transfer) — uploading the synthetic stand-ins mid-loop would
+    # measure the dev tunnel's ~26 ms H2D latency instead of the pipeline
+    staged_dets = {i: jax.block_until_ready(synth_device(i))
+                   for i in range(N_WARMUP + N_FRAMES)
+                   if i % 5 == 0 or i == 0}
+
     def patched_post_dev():
         real_post_dev()  # keep the real graph in the pipeline
-        return synth_device(state['i'])
+        return staged_dets[state['i']]
 
     mot.detector.postprocess = patched_post
     mot.detector.postprocess_device = patched_post_dev
@@ -189,9 +197,12 @@ def main_streams(n_streams: int):
                                          (n_streams,) + a.shape)
         return rep(tlbrs), rep(labels), rep(confs), rep(valid)
 
+    staged_dets = {i: jax.block_until_ready(synth_device_batch(i))
+                   for i in range(12 + 60) if i % 5 == 0 or i == 0}
+
     def patched_dev():
         real_post_dev()   # keep the real batched graph in the pipeline
-        return synth_device_batch(state['i'])
+        return staged_dets[state['i']]
 
     mot.detector.postprocess = patched
     mot.detector.postprocess_device_batch = patched_dev

@@ -146,7 +146,8 @@ class YOLODetector(Detector):
                  conf_thresh=0.25,
                  nms_thresh=0.5,
                  max_area=800000,
-                 min_aspect_ratio=1.2):
+                 min_aspect_ratio=1.2,
+                 quantize=None):
         super().__init__(size)
         from .models import registry
         from .models.yolo import decode_heads
@@ -167,6 +168,14 @@ class YOLODetector(Detector):
             raise ValueError('Unsupported class IDs') from err
 
         self.module, self.params = self.model.init_params()
+        assert quantize in (None, 'int8'), quantize
+        self.quantize = quantize
+        if quantize == 'int8':
+            # int8 weight path (role of the reference's INT8 engine
+            # build flag, ssd.py:76-83)
+            from .models.quantize import QuantizedModule
+            self.module = QuantizedModule(self.module)
+            self.params = self.module.quantize(self.params)
         self._decode_heads = decode_heads
 
         # letterbox geometry (detector.py:302-320)
@@ -303,9 +312,16 @@ class SSDDetector(Detector):
         c, ih, iw = self.model.INPUT_SHAPE
         rw, rh = self.tiling_region_sz
         tiles = jnp.asarray(self.tiles, jnp.int32)
+        tiles_f = jnp.asarray(self.tiles, jnp.float32)
+        scale = jnp.asarray(self.scale_factor, jnp.float32)
+        label_mask = jnp.asarray(self.label_mask)
         anchors = self._anchors
         topk = self.model.TOPK
         decode = self._decode
+        conf_thresh = self.conf_thresh
+        merge_thresh = self.merge_thresh
+        max_area = self.max_area
+        postprocess = self._postprocess_device
 
         @jax.jit
         def kernel(params, frame):
@@ -318,46 +334,106 @@ class SSDDetector(Detector):
                 for i in range(tiles.shape[0])])
             x = crops * (2.0 / 255.0) - 1.0    # detector.py:152
             locs, confs = module.apply(params, x)
-            return decode(locs, confs, anchors, topk)
+            det_out = decode(locs, confs, anchors, topk)
+            return postprocess(det_out, tiles_f, scale, label_mask,
+                               conf_thresh, max_area, merge_thresh)
 
         return kernel
+
+    @staticmethod
+    def _postprocess_device(det_out, tiles_f, scale, label_mask,
+                            conf_thresh, max_area, merge_thresh):
+        """Fused SSD postprocess (detector.py:154-217) — filter, pixel
+        scaling, and the cross-tile IoM merge as padded array ops; no
+        per-detection host Python.
+
+        The merge is connected components over the symmetric relation
+        "cross-tile, same label, IoM >= thresh", via min-label
+        propagation to a fixpoint; each component collapses to its
+        min-index member with the enclosing box and max confidence.
+        Documented divergence: the reference's Numba DFS walks a
+        *directed* neighbor list that keeps only IoM-improving edges per
+        tile (detector.py:188-195) — an artifact of its running-max scan.
+        The IoM relation itself is symmetric, so components differ only
+        in contrived asymmetric cases; the symmetric closure is
+        order-independent (the DFS result depends on detection order).
+        """
+        n_tiles, topk = det_out.shape[0], det_out.shape[1]
+        n = n_tiles * topk
+        rows = det_out.reshape(n, 7)
+        tile_id = jnp.repeat(jnp.arange(n_tiles), topk)
+        label = rows[:, 1].astype(jnp.int32)
+        conf = rows[:, 2]
+        t = tiles_f[tile_id]                        # [n, 4]
+        tw = (t[:, 2] - t[:, 0] + 1.0)
+        th = (t[:, 3] - t[:, 1] + 1.0)
+        xy_scale = jnp.stack([tw, th, tw, th], -1)
+        off = jnp.stack([t[:, 0], t[:, 1], t[:, 0], t[:, 1]], -1)
+        sc = jnp.concatenate([scale, scale])
+        tlbr = jnp.rint((rows[:, 3:7] * xy_scale + off) * sc[None, :])
+        area = geom.area(tlbr)
+        valid = (conf >= conf_thresh) & \
+            label_mask[jnp.clip(label, 0, label_mask.shape[0] - 1)] & \
+            (area > 0) & (area <= max_area)
+
+        # cross-tile IoM adjacency (symmetric)
+        iom = geom.iom_matrix(tlbr)
+        edge = (iom >= merge_thresh) & (tile_id[:, None] != tile_id[None, :]) \
+            & (label[:, None] == label[None, :]) \
+            & valid[:, None] & valid[None, :]
+
+        # min-label propagation to fixpoint (components are tiny: at most
+        # one member per tile)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        init = jnp.where(valid, idx, n)
+
+        def cond(state):
+            lbl, changed = state
+            return changed
+
+        def body(state):
+            lbl, _ = state
+            nbr_min = jnp.min(jnp.where(edge, lbl[None, :], n), axis=1)
+            new = jnp.minimum(lbl, nbr_min)
+            return new, jnp.any(new != lbl)
+
+        lbl, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+
+        # collapse each component onto its min-index representative
+        safe = jnp.where(valid, lbl, n)
+        tl = jnp.full((n, 2), jnp.inf).at[safe].min(tlbr[:, :2], mode='drop')
+        br = jnp.full((n, 2), -jnp.inf).at[safe].max(tlbr[:, 2:], mode='drop')
+        cmax = jnp.zeros(n).at[safe].max(conf, mode='drop')
+        keep = valid & (lbl == idx)
+        out_tlbr = jnp.where(keep[:, None],
+                             jnp.concatenate([tl, br], axis=1), 0.0)
+        out_conf = jnp.where(keep, cmax, 0.0)
+
+        # class-ascending stable order (detector.py:216), padded to MAX_DETS
+        order_key = jnp.where(keep, label.astype(jnp.float32) * n + idx,
+                              jnp.inf)
+        order = jnp.argsort(order_key)[:MAX_DETS]
+        return (out_tlbr[order], label[order], out_conf[order], keep[order])
 
     def detect_async(self, frame):
         self._pending = self._kernel(self.params, jnp.asarray(frame))
 
     def postprocess(self):
-        """Decode per-tile top-k, filter, merge across tiles
-        (detector.py:154-217)."""
-        det_out = np.asarray(self._pending)   # [tiles, topk, 7]
+        """Block on the fused graph (filter + cross-tile merge run on
+        device; see _postprocess_device) and build the recarray."""
+        tlbr, label, conf, valid = jax.device_get(self._pending)
         self._pending = None
-        detections = []
-        tile_ids = []
-        for tile_idx in range(det_out.shape[0]):
-            tile = self.tiles[tile_idx]
-            w = tile[2] - tile[0] + 1
-            h = tile[3] - tile[1] + 1
-            for row in det_out[tile_idx]:
-                label = int(row[1])
-                conf = float(row[2])
-                if conf < self.conf_thresh:
-                    break
-                if self.label_mask[label]:
-                    xmin = (row[3] * w + tile[0]) * self.scale_factor[0]
-                    ymin = (row[4] * h + tile[1]) * self.scale_factor[1]
-                    xmax = (row[5] * w + tile[0]) * self.scale_factor[0]
-                    ymax = (row[6] * h + tile[1]) * self.scale_factor[1]
-                    tlbr = np.rint([xmin, ymin, xmax, ymax])
-                    area = max(tlbr[2] - tlbr[0] + 1, 0) * \
-                        max(tlbr[3] - tlbr[1] + 1, 0)
-                    if 0 < area <= self.max_area:
-                        detections.append((tlbr, label, conf))
-                        tile_ids.append(tile_idx)
-        dets = np.fromiter(detections, DET_DTYPE,
-                           len(detections)).view(np.recarray)
-        if len(dets) == 0:
-            return dets
-        return self._merge(dets, np.array(tile_ids), self.batch_size,
-                           self.merge_thresh)
+        keep = valid
+        return make_detections(tlbr[keep].astype(float),
+                               label[keep].astype(int),
+                               conf[keep].astype(float))
+
+    def postprocess_device(self):
+        """Padded (tlbr, label, conf, valid) DEVICE arrays, no host sync —
+        the SSD path supports the all-device association like YOLO."""
+        out = self._pending
+        self._pending = None
+        return out
 
     @staticmethod
     def _merge(dets, tile_ids, num_tile, thresh):

@@ -117,13 +117,22 @@ class FeatureExtractor:
     """Extracts ReID embeddings for detected boxes
     (feature_extractor.py:11-98)."""
 
-    def __init__(self, model='OSNet025', batch_size=16):
+    def __init__(self, model='OSNet025', batch_size=16, quantize=None):
         self.model = registry.ReIDModel.get_model(model)
         assert batch_size >= 1
         self.batch_size = batch_size  # kept for config parity; batching is
         # a single padded device batch rather than 16-image chunks
         self.feature_dim = self.model.OUTPUT_LAYOUT
         self.module, self.params = self.model.init_params()
+        assert quantize in (None, 'int8'), quantize
+        self.quantize = quantize
+        if quantize == 'int8':
+            # int8 weight path (role of the reference's INT8 engines,
+            # ssd.py:76-83): wrap the module so the existing fused
+            # kernels run with int8-stored weights dequantized in-graph
+            from .models.quantize import QuantizedModule
+            self.module = QuantizedModule(self.module)
+            self.params = self.module.quantize(self.params)
         c, h, w = self.model.INPUT_SHAPE
         self._out_hw = (h, w)
 

@@ -101,6 +101,17 @@ class MOT:
         return (track for track in self.tracker.tracks.values()
                 if track.confirmed and track.active)
 
+    def flush_tracks(self):
+        """Buffered consumption for the txt writer: apply ALL deferred
+        device results in one batched fetch and return
+        ``{frame_id: [(trk_id, tlbr), ...]}`` snapshots of the
+        confirmed+active tracks after each processed frame — identical
+        rows to calling visible_tracks() every frame, without forcing a
+        device sync per frame (the reference's writer is synchronous,
+        app.py:92-97; here a per-frame sync would re-serialize the
+        deferred pipeline)."""
+        return self.tracker.sync(snapshots=True)
+
     def reset(self, cap_dt):
         """Reset the tracker; must be called before ``step`` (mot.py:114-123)."""
         self.frame_count = 0
@@ -129,7 +140,7 @@ class MOT:
                 with Profiler('track'):
                     # flow + Kalman for the whole frame, dispatched while
                     # the detector graph runs (XLA schedules both)
-                    self.tracker.track(frame_dev)
+                    self.tracker.track(frame_dev, self.frame_count)
                 if device_path:
                     det_dev = self.detector.postprocess_device()
                 else:
@@ -158,7 +169,7 @@ class MOT:
                                         embeddings)
         else:
             with Profiler('track'):
-                self.tracker.track(frame_dev)
+                self.tracker.track(frame_dev, self.frame_count)
 
         if self.draw:
             self._draw(frame, detections)

@@ -124,6 +124,14 @@ def ios_matrix(tlbrs1: jax.Array, tlbrs2: jax.Array) -> jax.Array:
     return jnp.where(a_self > 0, inter / jnp.where(a_self > 0, a_self, 1.0), 0.0)
 
 
+def iom_matrix(tlbrs: jax.Array) -> jax.Array:
+    """Pairwise [N, N] intersection-over-minimum matrix (rect.py:112-121)."""
+    inter = _pairwise_inter_area(tlbrs, tlbrs)
+    a = area(tlbrs)
+    a_min = jnp.minimum(a[:, None], a[None, :])
+    return jnp.where(a_min > 0, inter / jnp.where(a_min > 0, a_min, 1.0), 0.0)
+
+
 @jax.jit
 def find_occluded(tlbrs: jax.Array, occlusion_thresh: float,
                   valid: jax.Array | None = None) -> jax.Array:

@@ -183,7 +183,7 @@ class StreamTracker:
 
     # -- frame paths ------------------------------------------------------------
 
-    def track(self, frames):
+    def track(self, frames, frame_id=None):
         """Tracking-only frame for ALL streams: one dispatch.
 
         ``frames``: [S, H, W, 3] device array (BGR uint8).
@@ -211,7 +211,8 @@ class StreamTracker:
         self._prev_pre = cur_pre
         self._seeds = next_seeds
         for s, trk in enumerate(self.trackers):
-            trk._pending.append(('gap', list(trk._slot_ids), infos[s]))
+            trk._pending.append(('gap', {'slot_ids': list(trk._slot_ids),
+                                         'frame_id': frame_id}, infos[s]))
 
     def update_device(self, frame_id, det_batch, emb_batch):
         """Association frame for ALL streams: one dispatch, zero reads.

@@ -618,12 +618,18 @@ class MultiTracker:
                 LOGGER.debug(f"{'Detected:':<14}{new_trk}")
         self._mirrors_dirty = True
         self._upload_state()
+        # frame marker so buffered consumers snapshot the init frame too
+        self._pending.append(('mark', {'frame_id': 0}, None))
 
     # -- tracking-only frames (device-chained) ------------------------------
 
-    def track(self, frame):
+    def track(self, frame, frame_id=None):
         """Tracking-only frame: one chained device dispatch, zero host
-        syncs (vs compute_flow + apply_kalman, tracker.py:139-148)."""
+        syncs (vs compute_flow + apply_kalman, tracker.py:139-148).
+
+        ``frame_id`` (optional) tags the deferred info so buffered
+        consumers (sync(snapshots=True)) can emit per-frame track
+        snapshots without a per-frame sync."""
         if self.flow.device_state is None:
             self.flow.init(frame)
             return
@@ -642,7 +648,8 @@ class MultiTracker:
             self._trans_mat, self._acc_cov, self._frame_rect_dev)
         self._dev_state = new_state
         self.flow.advance(cur_state, next_seed)
-        self._pending.append(('gap', list(self._slot_ids), info))
+        self._pending.append(('gap', {'slot_ids': list(self._slot_ids),
+                                      'frame_id': frame_id}, info))
 
     # -- association ----------------------------------------------------------
 
@@ -699,22 +706,40 @@ class MultiTracker:
 
     # -- deferred host bookkeeping ---------------------------------------------
 
-    def sync(self, infos=None):
+    def sync(self, infos=None, snapshots=False):
         """Apply pending device results (gap frames + associations) to the
         host Track mirrors, in dispatch order. Pass pre-fetched ``infos``
-        to reuse a larger batched device_get."""
+        to reuse a larger batched device_get.
+
+        With ``snapshots=True``, returns ``{frame_id: [(trk_id, tlbr)]}``
+        of the confirmed+active tracks after each tagged frame's replay —
+        the buffered-consumption path for txt writing (one device_get per
+        flush instead of one sync per frame)."""
         pending, self._pending = self._pending, []
+        result = {} if snapshots else None
         if not pending:
-            return
+            return result
         if infos is None:
             infos = jax.device_get([info for _, _, info in pending])
-        for (kind, meta, _), flat in zip(pending, infos):
+        for k, ((kind, meta, _), flat) in enumerate(zip(pending, infos)):
             if kind == 'gap':
                 self._apply_gap_info(meta, flat)
-            else:
+            elif kind == 'assoc':
                 self._apply_assoc_info(meta, flat)
+            # 'mark' entries carry no device work (init frames)
+            if snapshots:
+                fid = meta.get('frame_id')
+                nxt = pending[k + 1][1].get('frame_id') \
+                    if k + 1 < len(pending) else None
+                if fid is not None and fid != nxt:
+                    result[fid] = [
+                        (t.trk_id, t.tlbr.copy())
+                        for t in self.tracks.values()
+                        if t.confirmed and t.active]
+        return result
 
-    def _apply_gap_info(self, slot_ids, flat):
+    def _apply_gap_info(self, meta, flat):
+        slot_ids = meta['slot_ids']
         (h_ok, h_mat, next_tlbrs, lost, has_klt, klt_tlbrs, new_inl,
          bg_prev, bg_cur, bg_inlier, est_ok) = self._unpack_info(flat)
         if not bool(h_ok):

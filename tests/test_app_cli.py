@@ -57,7 +57,7 @@ def _write_gt(seq, gt):
     return path
 
 
-def _run_app(seq, tmp_path):
+def _run_app(seq, tmp_path, pin_cpu=True):
     cfg = {
         'resize_to': list(SIZE),
         'stream_cfg': {'resolution': list(SIZE), 'frame_rate': 30,
@@ -78,7 +78,14 @@ def _run_app(seq, tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     out = tmp_path / 'out.txt'
     env = dict(os.environ)
-    env.setdefault('JAX_PLATFORMS', 'cpu')
+    if pin_cpu:
+        # deterministic platform for the golden compare: bypass the axon
+        # sitecustomize pin (PYTHONPATH) and force CPU, exactly like the
+        # Makefile's `test` target — TPU matmul numerics drift boxes by a
+        # few px over a long sequence, which is accuracy-irrelevant but
+        # breaks byte/px-level golden stability
+        env['PYTHONPATH'] = ''
+        env['JAX_PLATFORMS'] = 'cpu'
     proc = subprocess.run(
         [sys.executable, 'app.py', '-i', str(seq / 'img1' / '%06d.jpg'),
          '-c', str(cfg_path), '--mot', '--txt', str(out)],
@@ -106,6 +113,27 @@ def app_run(tmp_path_factory):
     gt_path = _write_gt(seq, gt)
     out = _run_app(seq, tmp_path)
     return out, gt_path
+
+
+@pytest.mark.slow
+def test_app_on_device_accuracy(tmp_path_factory):
+    """Drive the real CLI on the session's NATIVE platform (the TPU when
+    running `make test-tpu`) and assert tracking accuracy — the golden
+    compare above is CPU-pinned for determinism, so this is the test
+    that exercises the full app on the actual chip."""
+    import jax
+    if jax.default_backend() == 'cpu':
+        pytest.skip('native platform is already CPU (covered by app_run)')
+    tmp_path = tmp_path_factory.mktemp('app_tpu')
+    rng = np.random.default_rng(42)
+    seq, frames, gt = make_sequence(tmp_path, rng)
+    _write_jpegs(seq, frames)
+    gt_path = _write_gt(seq, gt)
+    out = _run_app(seq, tmp_path, pin_cpu=False)
+    from fastmot_tpu.eval import evaluate_files
+    m = evaluate_files(gt_path, out)
+    assert m.mota >= 0.85, str(m)
+    assert m.idf1 >= 0.85, str(m)
 
 
 @pytest.mark.slow

@@ -110,3 +110,72 @@ def test_ssd_detector_smoke(rng):
     frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
     out = det(frame)
     assert out.dtype.names == ('tlbr', 'label', 'conf')
+
+
+def test_ssd_postprocess_device_vs_host_oracle(rng):
+    """The fused on-device SSD postprocess (filter + pixel scaling +
+    cross-tile IoM merge, VERDICT round-1 #9) must match the reference's
+    host loop + DFS merge (detector.py:154-217) on realistic layouts."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.detector import DET_DTYPE, MAX_DETS, SSDDetector
+
+    n_tiles, topk = 4, 20
+    conf_thresh, merge_thresh, max_area = 0.5, 0.6, 120000
+    tiles = np.array([[0, 0, 299, 299], [225, 0, 524, 299],
+                      [0, 225, 299, 524], [225, 225, 524, 524]], np.float32)
+    scale = np.array([1.5, 1.2], np.float32)
+    label_mask = np.zeros(91, bool)
+    label_mask[1] = True
+
+    # synthetic decoded rows: conf-sorted per tile; several boxes in tile
+    # overlap regions so the cross-tile merge has real work
+    det_out = np.zeros((n_tiles, topk, 7), np.float32)
+    for t in range(n_tiles):
+        conf = np.sort(rng.uniform(0, 1, topk))[::-1]
+        label = rng.choice([1, 1, 1, 2], topk)
+        x1 = rng.uniform(0, 0.8, topk)
+        y1 = rng.uniform(0, 0.8, topk)
+        w = rng.uniform(0.05, 0.3, topk)
+        h = rng.uniform(0.05, 0.3, topk)
+        det_out[t] = np.stack([np.zeros(topk), label, conf,
+                               x1, y1, x1 + w, y1 + h], -1)
+    # plant an explicit cross-tile duplicate pair (same object seen by
+    # tiles 0 and 1 in their overlap region)
+    det_out[0, 0] = [0, 1, 0.95, 0.80, 0.30, 0.95, 0.55]
+    det_out[1, 0] = [0, 1, 0.90, 0.05, 0.31, 0.21, 0.56]
+
+    # --- host oracle: the reference's sequential loop + DFS merge ---------
+    detections, tile_ids = [], []
+    for ti in range(n_tiles):
+        tile = tiles[ti]
+        w = tile[2] - tile[0] + 1
+        h = tile[3] - tile[1] + 1
+        for row in det_out[ti]:
+            label_i, conf_i = int(row[1]), float(row[2])
+            if conf_i < conf_thresh:
+                break
+            if label_mask[label_i]:
+                tlbr = np.rint([(row[3] * w + tile[0]) * scale[0],
+                                (row[4] * h + tile[1]) * scale[1],
+                                (row[5] * w + tile[0]) * scale[0],
+                                (row[6] * h + tile[1]) * scale[1]])
+                area = max(tlbr[2] - tlbr[0] + 1, 0) * \
+                    max(tlbr[3] - tlbr[1] + 1, 0)
+                if 0 < area <= max_area:
+                    detections.append((tlbr, label_i, conf_i))
+                    tile_ids.append(ti)
+    ref = np.fromiter(detections, DET_DTYPE, len(detections)).view(np.recarray)
+    ref = SSDDetector._merge(ref, np.array(tile_ids), n_tiles, merge_thresh)
+
+    # --- device kernel ------------------------------------------------------
+    out = jax.jit(SSDDetector._postprocess_device,
+                  static_argnums=(4, 5, 6))(
+        jnp.asarray(det_out), jnp.asarray(tiles), jnp.asarray(scale),
+        jnp.asarray(label_mask), conf_thresh, max_area, merge_thresh)
+    tlbr, label, conf, valid = (np.asarray(o) for o in out)
+    got = sorted((tuple(tlbr[i]), int(label[i]), round(float(conf[i]), 5))
+                 for i in np.flatnonzero(valid))
+    want = sorted((tuple(d.tlbr), int(d.label), round(float(d.conf), 5))
+                  for d in ref)
+    assert got == want
