@@ -137,9 +137,14 @@ class InceptionV2Backbone(nn.Module):
 
 
 class SSDHead(nn.Module):
-    """Multibox head over 6 scales with TF-style extra layers."""
+    """Multibox head over 6 scales with TF-style extra layers.
+
+    ``predictor_kernel`` follows the TF Object Detection configs the
+    reference's .pb files were trained from (convolutional_box_predictor
+    kernel_size: 1 for ssd_mobilenet_v1_coco, 3 for the others)."""
     num_classes: int
     anchors_per_scale: tuple[int, ...] = (3, 6, 6, 6, 6, 6)
+    predictor_kernel: int = 3
 
     @nn.compact
     def __call__(self, c_mid, c_top):
@@ -151,10 +156,11 @@ class SSDHead(nn.Module):
             feats.append(x)
 
         locs, confs = [], []
+        pk = (self.predictor_kernel, self.predictor_kernel)
         for f, a in zip(feats, self.anchors_per_scale):
-            loc = nn.Conv(a * 4, (3, 3), padding='SAME',
+            loc = nn.Conv(a * 4, pk, padding='SAME',
                           dtype=jnp.float32)(f)
-            conf = nn.Conv(a * self.num_classes, (3, 3), padding='SAME',
+            conf = nn.Conv(a * self.num_classes, pk, padding='SAME',
                            dtype=jnp.float32)(f)
             locs.append(loc.reshape(loc.shape[0], -1, 4))
             confs.append(conf.reshape(conf.shape[0], -1, self.num_classes))
@@ -164,6 +170,7 @@ class SSDHead(nn.Module):
 class SSDNet(nn.Module):
     backbone: str
     num_classes: int
+    predictor_kernel: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -173,7 +180,8 @@ class SSDNet(nn.Module):
             c_mid, c_top = MobileNetV2Backbone()(x)
         else:
             c_mid, c_top = InceptionV2Backbone()(x)
-        return SSDHead(num_classes=self.num_classes)(c_mid, c_top)
+        return SSDHead(num_classes=self.num_classes,
+                       predictor_kernel=self.predictor_kernel)(c_mid, c_top)
 
 
 def generate_anchors(input_size=300,
@@ -251,10 +259,12 @@ class _SSDBase(SSDModel):
     NUM_CLASSES = 91
     TOPK = 100
     BACKBONE = 'mobilenet_v1'
+    PREDICTOR_KERNEL = 3
 
     @classmethod
     def build(cls):
-        return SSDNet(backbone=cls.BACKBONE, num_classes=cls.NUM_CLASSES)
+        return SSDNet(backbone=cls.BACKBONE, num_classes=cls.NUM_CLASSES,
+                      predictor_kernel=cls.PREDICTOR_KERNEL)
 
 
 @register_ssd
@@ -265,6 +275,7 @@ class SSDInceptionV2(_SSDBase):
 @register_ssd
 class SSDMobileNetV1(_SSDBase):
     BACKBONE = 'mobilenet_v1'
+    PREDICTOR_KERNEL = 1
 
 
 @register_ssd

@@ -15,13 +15,25 @@ gdown, scripts/download_models.sh). Here:
     (models/osnet_convert.py) covering conv/depthwise/bn/gate/fc —
     the complete eval-time tensor set.
 
+  * ONNX (the reference's own released files, scripts/download_models.sh):
+    yolov4_crowdhuman.onnx maps by cfg-section ordinal
+    (models/onnx_import.py); osnet_x0_25_msmt17.onnx keeps torch
+    state_dict keys as initializer names, so the same structural map
+    applies. No onnx package needed — the wire format is read directly.
+  * TF frozen graphs (ssd_*_coco.pb): Const tensors extracted by the
+    same wire reader, mapped structurally (models/ssd_convert.py).
+
 Usage:
   python scripts/convert_weights.py darknet --model YOLOv4 \
       --weights yolov4-crowdhuman.weights
   python scripts/convert_weights.py darknet --cfg custom.cfg \
       --weights custom.weights --out custom.npz
-  python scripts/convert_weights.py osnet --ckpt osnet_x0_25.pth \
-      --model OSNet025
+  python scripts/convert_weights.py onnx --model YOLOv4 \
+      --onnx yolov4_crowdhuman.onnx
+  python scripts/convert_weights.py osnet --ckpt osnet_x0_25_msmt17.onnx \
+      --model OSNet025         # .pth checkpoints work too
+  python scripts/convert_weights.py ssd --model SSDMobileNetV1 \
+      --pb ssd_mobilenet_v1_coco.pb
 """
 import argparse
 import sys
@@ -69,8 +81,55 @@ def convert_darknet(args):
           f'verified strict reload)')
 
 
+def convert_onnx_yolo(args):
+    """Reference-released yolo2onnx file -> registered zoo npz."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models import registry
+    from fastmot_tpu.models.onnx_import import yolo_params_from_onnx
+    from fastmot_tpu.models.registry import load_npz, save_npz
+
+    cls = registry.YOLOModel.get_model(args.model)
+    module = cls.build()
+    if not hasattr(module, 'sections'):
+        raise SystemExit(f'{args.model} is not darknet-backed; ONNX '
+                         f'ordinal mapping only applies to cfg-built models')
+    c, h, w = cls.INPUT_SHAPE
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, c), jnp.float32))
+    params = yolo_params_from_onnx(module.sections, params, args.onnx)
+    out = Path(args.out) if args.out else _default_out(args.model)
+    save_npz(params, out)
+    fresh = module.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 64, 64, c), jnp.float32))
+    load_npz(fresh, out, strict=True)
+    print(f'wrote {out} (verified strict reload)')
+
+
+def convert_ssd(args):
+    """TF frozen graph (.pb) -> registered SSD zoo npz."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models import registry
+    from fastmot_tpu.models.protoparse import graphdef_constants
+    from fastmot_tpu.models.registry import load_npz
+    from fastmot_tpu.models.ssd_convert import convert_frozen_graph
+
+    cls = registry.SSDModel.get_model(args.model)
+    module = cls.build()
+    c, h, w = cls.INPUT_SHAPE
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, c), jnp.float32))
+    consts = graphdef_constants(Path(args.pb).read_bytes())
+    flat = convert_frozen_graph(consts, params, cls.BACKBONE)
+    out = Path(args.out) if args.out else _default_out(args.model)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, **flat)
+    load_npz(params, out, strict=True)
+    print(f'wrote {out} ({len(flat)} tensors, verified strict reload)')
+
+
 def convert_osnet(args):
-    import torch
     import jax
     import jax.numpy as jnp
     from fastmot_tpu.models import registry
@@ -83,8 +142,14 @@ def convert_osnet(args):
     params = module.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, h, w, c), jnp.float32))
 
-    ckpt = torch.load(args.ckpt, map_location='cpu', weights_only=False)
-    state = ckpt.get('state_dict', ckpt)
+    if str(args.ckpt).endswith('.onnx'):
+        # torch.onnx keeps state_dict keys as initializer names
+        from fastmot_tpu.models.onnx_import import torch_state_dict_from_onnx
+        state = torch_state_dict_from_onnx(args.ckpt)
+    else:
+        import torch
+        ckpt = torch.load(args.ckpt, map_location='cpu', weights_only=False)
+        state = ckpt.get('state_dict', ckpt)
     state = {k.replace('module.', ''): np.asarray(v)
              for k, v in state.items()}
     flat = convert_state_dict(state, channels=cls.CHANNELS)
@@ -106,10 +171,24 @@ def main():
     pd.add_argument('--out')
     pd.set_defaults(fn=convert_darknet)
     po = sub.add_parser('osnet')
-    po.add_argument('--ckpt', required=True)
+    po.add_argument('--ckpt', required=True,
+                    help='torchreid .pth or torch-exported .onnx')
     po.add_argument('--model', default='OSNet025')
     po.add_argument('--out')
     po.set_defaults(fn=convert_osnet)
+    px = sub.add_parser('onnx')
+    px.add_argument('--model', required=True,
+                    help='darknet-backed zoo name, e.g. YOLOv4')
+    px.add_argument('--onnx', required=True)
+    px.add_argument('--out')
+    px.set_defaults(fn=convert_onnx_yolo)
+    ps = sub.add_parser('ssd')
+    ps.add_argument('--model', required=True,
+                    help='SSD zoo name, e.g. SSDMobileNetV1')
+    ps.add_argument('--pb', required=True,
+                    help='TF frozen inference graph')
+    ps.add_argument('--out')
+    ps.set_defaults(fn=convert_ssd)
     args = p.parse_args()
     args.fn(args)
 
