@@ -74,6 +74,7 @@ def auction_lap(cost: jax.Array,
     # preferences they spread across free columns and settle in a few
     # rounds. Total distortion <= n * _BIAS, folded into the tolerance.
     _BIAS = 1e-4
+    assert eps_final > _BIAS, 'pre-assignment eps-CS needs eps > bias'
     ii = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 0)
     jj = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 1)
     noise = ((ii * jnp.uint32(2654435761) + jj * jnp.uint32(40503))
@@ -82,15 +83,37 @@ def auction_lap(cost: jax.Array,
 
     idx = jnp.arange(n)
 
+    # Degenerate-row fast path. In tracking workloads most rows/columns
+    # are padding or fully gated (an association frame saw 38 finite
+    # entries in a 128x128 matrix); auctioning those uniform rows from
+    # scratch is a pure price war that measured 3.5-14 ms per solve.
+    # Rows with NO allowed entry are pre-assigned one-to-one onto columns
+    # with no allowed entry at price 0: their eps-CS slack is at most
+    # _BIAS < eps_final, so the assignment is valid for every phase and
+    # they never bid unless a starving real row displaces them.
+    finite = sq < _FORBID
+    row_live = jnp.any(finite, axis=1)
+    col_live = jnp.any(finite, axis=0)
+    r_rank = jnp.cumsum(~row_live) - 1
+    free_cols = jnp.nonzero(~col_live, size=n, fill_value=n)[0]
+    n_free = jnp.sum(~col_live)
+    pre_col = jnp.where(~row_live & (r_rank < n_free),
+                        free_cols[jnp.clip(r_rank, 0, n - 1)], -1)
+    owner0 = jnp.full(n, -1, dtype=jnp.int32).at[
+        jnp.where(pre_col >= 0, pre_col, n)].set(
+            idx.astype(jnp.int32), mode='drop')
+
+    # A TPU lax.while_loop iteration carries ~6 us of fixed overhead —
+    # an order of magnitude more than one [n, n] bidding round's actual
+    # VPU work. Unrolling UNROLL rounds per iteration amortizes it;
+    # rounds after convergence are natural no-ops (no unassigned rows ->
+    # no bids -> state unchanged), so the unroll never changes the result.
+    UNROLL = 8
+
     def run_phase(eps, owner, price):
         """One epsilon phase: bid until every row is assigned."""
 
-        def cond(state):
-            owner, price, it = state
-            return jnp.any(owner < 0) & (it < max_iters)
-
-        def body(state):
-            owner, price, it = state
+        def one_round(owner, price):
             # Unassigned rows bid simultaneously (Jacobi auction).
             # (scatter-add with out-of-bounds drop — duplicate-safe OR)
             assigned_row = jnp.zeros(n, dtype=jnp.int32).at[
@@ -115,16 +138,33 @@ def auction_lap(cost: jax.Array,
             won = best_bid > -jnp.inf
             price = jnp.where(won, best_bid, price)
             owner = jnp.where(won, best_bidder, owner)
-            return owner, price, it + 1
+            return owner, price
+
+        def cond(state):
+            owner, price, it = state
+            return jnp.any(owner < 0) & (it < max_iters)
+
+        def body(state):
+            owner, price, it = state
+            for _ in range(UNROLL):
+                owner, price = one_round(owner, price)
+            return owner, price, it + UNROLL
 
         owner, price, _ = jax.lax.while_loop(cond, body, (owner, price, 0))
         return owner, price
 
     # Epsilon scaling: eps starts at a fraction of the value range and
     # shrinks geometrically to eps_final; n * eps_final bounds the gap to
-    # the optimal total cost.
+    # the optimal total cost. Assignments CARRY OVER between phases: at
+    # each new eps only the rows violating eps-CS are unassigned and
+    # re-auctioned (a full restart per phase re-fights every price war;
+    # with carryover the later, small-eps phases touch only the rows the
+    # tighter tolerance actually disturbs).
+    # eps starts at _FORBID / 2: the first phase retires starving rows
+    # onto forbidden columns in a couple of bids instead of a fine-grained
+    # price walk across the whole field; later phases refine real ties.
     price = jnp.zeros(n, dtype=jnp.float32)
-    owner = jnp.full(n, -1, dtype=jnp.int32)
+    owner = owner0
     eps = jnp.float32(0.5)
 
     def scale_cond(state):
@@ -133,7 +173,14 @@ def auction_lap(cost: jax.Array,
 
     def scale_body(state):
         eps, owner, price = state
-        owner, price = run_phase(eps, jnp.full(n, -1, dtype=jnp.int32), price)
+        value = benefit - price[None, :]
+        vmax = jnp.max(value, axis=1)
+        has = owner >= 0
+        row_j = jnp.where(has, owner, 0)
+        pair_val = value[row_j, idx]
+        keep = has & (pair_val >= vmax[row_j] - eps)
+        owner = jnp.where(keep, owner, -1)
+        owner, price = run_phase(eps, owner, price)
         return eps / 8.0, owner, price
 
     _, owner, price = jax.lax.while_loop(scale_cond, scale_body, (eps, owner, price))
