@@ -22,12 +22,14 @@ INF_COST = 1e5
 
 # Forbidden entries are clamped to this before solving so the auction's
 # price range (and hence its iteration count) stays small. Correctness
-# requires only _FORBID > 2 x the max finite cost (~2.0 for fused
-# appearance costs): swapping one forbidden pair for two real pairs then
-# always lowers the total, so the solver avoids clamped entries whenever a
-# finite-cost maximal matching exists; clamped matches are filtered out
-# afterwards. Keeping it small keeps the epsilon-scaling phase count low.
-_FORBID = 8.0
+# requires only _FORBID > 2 x the max finite cost (2.0 for cosine
+# distance, the largest any tracker stage passes): swapping one forbidden
+# pair for two real pairs then always lowers the total, so the solver
+# avoids clamped entries whenever a finite-cost maximal matching exists;
+# clamped matches are filtered out afterwards. Keeping it small keeps
+# both the epsilon-scaling phase count and the starving-row price walk
+# (O(_FORBID / eps) bidding rounds) short.
+_FORBID = 4.5
 
 
 @partial(jax.jit, static_argnames=('eps_final', 'max_iters'))
@@ -160,9 +162,6 @@ def auction_lap(cost: jax.Array,
     # re-auctioned (a full restart per phase re-fights every price war;
     # with carryover the later, small-eps phases touch only the rows the
     # tighter tolerance actually disturbs).
-    # eps starts at _FORBID / 2: the first phase retires starving rows
-    # onto forbidden columns in a couple of bids instead of a fine-grained
-    # price walk across the whole field; later phases refine real ties.
     price = jnp.zeros(n, dtype=jnp.float32)
     owner = owner0
     eps = jnp.float32(0.5)

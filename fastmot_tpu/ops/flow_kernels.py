@@ -183,7 +183,11 @@ def _patch_table(img: jax.Array, win: int) -> jax.Array:
     Built from win^2 shifted copies (pure vectorized shifts); turns the
     per-point window sampling of LK into CONTIGUOUS-ROW gathers, which
     the TPU lowers efficiently — the naive per-pixel gather formulation
-    measured >100 ms per frame on scattered real keypoints.
+    measured >100 ms per frame on scattered real keypoints. (An XLA
+    im2col build via conv_general_dilated_patches was tried and measured
+    2.7 ms SLOWER per gap frame: the shifted copies lower to async
+    early-dispatched copy-starts that overlap preceding compute, while
+    the patch conv serializes into the kernel's critical path.)
     """
     h, w = img.shape
     half = (win - 1) // 2

@@ -251,20 +251,26 @@ def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
             jnp.where(matched, c4r, u_det.shape[0])].set(True, mode='drop')
         return u_det & ~taken, col4row_final
 
-    # stage 1: age-cascaded matching over depth-bucket row masks
+    # stage 1: age-cascaded matching over depth-bucket row masks.
+    # eps_final 1e-2: fused/gated costs live in [0, ~1] and the auction's
+    # convergence cost is O(price range / eps) bidding rounds when many
+    # near-tie entries contest (profiled at 10-17 ms per association
+    # frame at 1e-3 with degenerate appearance costs); ties within 1% of
+    # the gate are tracking noise, not signal, so the coarser tolerance
+    # trades nothing measurable for a ~10x smaller worst case.
     for depth in range(n_depth):
         row_valid = t_valid & t_confirmed & (t_depth == depth)
-        _, c4r = asg.auction_lap(cost, row_valid, u_det)
+        _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=1e-2)
         u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # stage 2: IoU matching for remaining active confirmed tracks
     row_valid = t_valid & t_confirmed & t_active & (col4row_final < 0)
-    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det)
+    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2)
     u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # stage 3: IoU matching for unconfirmed tracks
     row_valid = t_valid & ~t_confirmed
-    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det)
+    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2)
     u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # greedy reID against the device history store (tracker.py:229-241)
@@ -295,19 +301,45 @@ def _normalized_feats(feat_sum, feat_count):
     return avg / jnp.where(norm > 0, norm, 1.0)
 
 
-def _assoc_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
-                motion_weight: float, max_assoc_cost: float,
-                iou_gate: float, fill_val: float,
-                occlusion_thresh: float, conf_thresh: float,
-                max_reid_cost: float, dup_gate: float,
-                confirm_hits: int, max_age: int, history_size: int,
-                state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb,
-                frame_id, frame_tlbr):
-    """ONE dispatch for a full association frame: cascade + lifecycle
-    DECISIONS + state commit (tracker.py:185-293 + 368-401), with slot
-    and history allocation on device. Returns (new_state, new_hist, info);
-    the info vector lets the host replay every decision onto its Track
-    mirrors without ever blocking the frame loop."""
+def _cascade_part(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
+                  motion_weight: float, max_assoc_cost: float,
+                  iou_gate: float, fill_val: float,
+                  occlusion_thresh: float, conf_thresh: float,
+                  max_reid_cost: float, dup_gate: float, confirm_hits: int,
+                  state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb):
+    """Cascade half of the association frame: cost building + the
+    auction/greedy solvers. Dispatched as its OWN kernel by
+    ``update_device``: compiled inside the monolithic association module
+    the solver while-loops lose VMEM residency and each bidding round
+    costs ~25x its standalone time (profiled 14.9 ms vs 0.5 ms for
+    identical inputs), so the solvers get their own compilation unit."""
+    (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+     lost_pending, inl, kps, kpv, feat_sum, feat_count) = state
+    hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits = hist
+
+    confirmed = hits >= confirm_hits
+    active = ages < 2
+    depth = ages // 2
+    h_reid_ok = h_valid & (hist_count >= 2.0)   # tracker.py:229 count>=2
+
+    return _cascade_stages(
+        cfg, metric, n_depth, motion_weight, max_assoc_cost, iou_gate,
+        fill_val, occlusion_thresh, conf_thresh, max_reid_cost, dup_gate,
+        means, covs, tlbrs, valid, feat_sum, feat_count,
+        labels, depth, confirmed, active,
+        d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+        hist_sum, hist_count, h_labels, h_reid_ok)
+
+
+def _commit_part(cfg: KalmanConfig, confirm_hits: int, max_age: int,
+                 history_size: int,
+                 state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+                 frame_id, frame_tlbr, cascade_out):
+    """Commit half of the association frame: lifecycle DECISIONS + state
+    commit (tracker.py:258-293 + 368-401) with slot and history
+    allocation on device. Returns (new_state, new_hist, info); the info
+    vector lets the host replay every decision onto its Track mirrors
+    without ever blocking the frame loop."""
     (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
      lost_pending, inl, kps, kpv, feat_sum, feat_count) = state
     hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits = hist
@@ -319,17 +351,9 @@ def _assoc_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     h_idx = jnp.arange(h_cap, dtype=jnp.int32)
 
     confirmed = hits >= confirm_hits
-    active = ages < 2
-    depth = ages // 2
-    h_reid_ok = h_valid & (hist_count >= 2.0)   # tracker.py:229 count>=2
+    h_reid_ok = h_valid & (hist_count >= 2.0)
 
-    occluded, col4row, u_det_conf, reid_c4r, rect_c4r = _cascade_stages(
-        cfg, metric, n_depth, motion_weight, max_assoc_cost, iou_gate,
-        fill_val, occlusion_thresh, conf_thresh, max_reid_cost, dup_gate,
-        means, covs, tlbrs, valid, feat_sum, feat_count,
-        labels, depth, confirmed, active,
-        d_tlbrs, d_labels, d_conf, d_valid, d_emb,
-        hist_sum, hist_count, h_labels, h_reid_ok)
+    occluded, col4row, u_det_conf, reid_c4r, rect_c4r = cascade_out
 
     # ---- rectify: merge vs duplicate (tracker.py:387-401) -----------------
     has_rect = rect_c4r >= 0                      # row i: unmatched active
@@ -507,11 +531,42 @@ def _assoc_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     return new_state, new_hist, info
 
 
+def _assoc_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
+                motion_weight: float, max_assoc_cost: float,
+                iou_gate: float, fill_val: float,
+                occlusion_thresh: float, conf_thresh: float,
+                max_reid_cost: float, dup_gate: float,
+                confirm_hits: int, max_age: int, history_size: int,
+                state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+                frame_id, frame_tlbr):
+    """Full association frame as ONE traceable unit (cascade + commit) —
+    used by the vmapped multi-stream batch kernel and the sharding
+    dryrun. The single-stream path dispatches the two halves as separate
+    kernels (see _cascade_part for why)."""
+    cascade_out = _cascade_part(
+        cfg, metric, n_depth, motion_weight, max_assoc_cost, iou_gate,
+        fill_val, occlusion_thresh, conf_thresh, max_reid_cost, dup_gate,
+        confirm_hits, state, hist, d_tlbrs, d_labels, d_conf, d_valid,
+        d_emb)
+    return _commit_part(
+        cfg, confirm_hits, max_age, history_size,
+        state, hist, d_tlbrs, d_labels, d_conf, d_valid, d_emb,
+        frame_id, frame_tlbr, cascade_out)
+
+
 _assoc_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
     'iou_gate', 'fill_val', 'occlusion_thresh', 'conf_thresh',
     'max_reid_cost', 'dup_gate', 'confirm_hits', 'max_age',
     'history_size'))(_assoc_core)
+
+_cascade_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
+    'iou_gate', 'fill_val', 'occlusion_thresh', 'conf_thresh',
+    'max_reid_cost', 'dup_gate', 'confirm_hits'))(_cascade_part)
+
+_commit_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'confirm_hits', 'max_age', 'history_size'))(_commit_part)
 
 
 class MultiTracker:
@@ -690,15 +745,22 @@ class MultiTracker:
 
         n_depth = (self.max_age + 2) // 2
         fill_val = min(self.max_assoc_cost + 0.1, 1.0)
-        new_state, new_hist, info = _assoc_kernel(
+        # two chained dispatches (zero host reads): the cascade's
+        # auction/greedy while-loops need their own compilation unit to
+        # keep VMEM residency (see _cascade_part)
+        cascade_out = _cascade_kernel(
             self.kf_cfg, self.metric, n_depth, self.motion_weight,
             self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
             self.occlusion_thresh, self.conf_thresh, self.max_reid_cost,
-            1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
+            1.0 - self.duplicate_thresh, self.confirm_hits,
+            self._dev_state, self._hist_store,
+            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev)
+        new_state, new_hist, info = _commit_kernel(
+            self.kf_cfg, self.confirm_hits, self.max_age,
             self.history_size,
             self._dev_state, self._hist_store,
             d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            jnp.int32(frame_id), self._frame_rect_dev)
+            jnp.int32(frame_id), self._frame_rect_dev, cascade_out)
         self._dev_state = new_state
         self._hist_store = new_hist
         self._pending.append(('assoc', {'frame_id': frame_id,

@@ -49,6 +49,34 @@ def test_auction_all_forbidden():
     assert (np.asarray(col4row) == -1).all()
 
 
+def test_auction_sparse_gated_production_shape(rng):
+    """The production association shape: [64, 128] with most rows padding
+    and only a handful of finite (gated) entries — the degenerate regime
+    where a naive auction price-wars for hundreds of rounds (profiled at
+    3.5-20 ms per solve before the pre-assignment/carryover fast paths).
+    Must still match scipy's cardinality and near-optimal total."""
+    for n_finite in (0, 1, 10, 38):
+        cost = np.full((64, 128), A.INF_COST, np.float32)
+        row_valid = np.zeros(64, bool)
+        row_valid[:40] = True
+        col_valid = np.zeros(128, bool)
+        col_valid[:40] = True
+        rows = rng.integers(0, 40, n_finite)
+        cols = rng.integers(0, 40, n_finite)
+        cost[rows, cols] = rng.uniform(0, 0.9, n_finite)
+        row4col, col4row = A.auction_lap(cost, row_valid, col_valid)
+        col4row = np.asarray(col4row)
+
+        sub = np.where(row_valid[:, None] & col_valid[None, :], cost, 1e5)
+        ri, ci = linear_sum_assignment(np.minimum(sub, 1e3))
+        ref_pairs = [(i, j) for i, j in zip(ri, ci) if sub[i, j] < A.INF_COST]
+        got_pairs = [(i, j) for i, j in enumerate(col4row) if j >= 0]
+        assert len(got_pairs) == len(ref_pairs), (n_finite, got_pairs)
+        got = total_matched_cost(cost, col4row)
+        ref = sum(cost[i, j] for i, j in ref_pairs)
+        assert got <= ref + 128 * 2e-3
+
+
 def test_auction_with_validity_masks(rng):
     cost = rng.uniform(0, 1, (6, 6)).astype(np.float32)
     row_valid = np.array([1, 1, 1, 0, 0, 0], bool)
