@@ -301,6 +301,106 @@ def _normalized_feats(feat_sum, feat_count):
     return avg / jnp.where(norm > 0, norm, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Multi-dispatch cascade (single-stream hot path).
+#
+# The cascade math is identical to _cascade_stages, but the solver
+# while-loops are compiled in SMALL kernels: inside any sizeable module
+# XLA spills the auction/greedy loop state out of VMEM and each bidding
+# round costs an order of magnitude more (op-trace: the same solves run
+# 0.2 ms standalone vs 10+ ms fused). The pieces chain through device
+# arrays only — the host never reads between dispatches.
+# ---------------------------------------------------------------------------
+
+def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
+                      motion_weight: float, max_assoc_cost: float,
+                      iou_gate: float, fill_val: float,
+                      occlusion_thresh: float, confirm_hits: int,
+                      state, hist, d_tlbrs, d_labels, d_conf, d_valid,
+                      d_embeddings):
+    """Cost matrices + row masks for every cascade stage, one dispatch."""
+    (means, covs, tlbrs, t_valid, ages, hits, t_labels, start_f, end_f,
+     lost_pending, inl, kps, kpv, feat_sum, feat_count) = state
+    hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits = hist
+    t_confirmed = hits >= confirm_hits
+    t_active = ages < 2
+    t_depth = ages // 2
+    h_reid_ok = h_valid & (hist_count >= 2.0)
+
+    occluded = geom.find_occluded(d_tlbrs, occlusion_thresh, d_valid)
+    t_feats = _normalized_feats(feat_sum, feat_count)
+    empty = (feat_count < 1.0)[:, None] | occluded[None, :]
+    cost = dist.cdist(t_feats, d_embeddings, metric,
+                      empty_mask=empty, fill_val=fill_val)
+    m_dist = kf.batched_maha_distance(cfg, means, covs, d_tlbrs)
+    cost = asg.fuse_motion(cost, m_dist, motion_weight)
+    cost = asg.gate_cost(cost, t_labels, d_labels, max_assoc_cost)
+
+    iou_cost = dist.iou_dist(tlbrs, d_tlbrs)
+    iou_cost = asg.gate_cost(iou_cost, t_labels, d_labels, iou_gate)
+
+    h_feats = _normalized_feats(hist_sum, hist_count)
+    reid_cost = dist.cdist(h_feats, d_embeddings, metric)
+    reid_cost = asg.gate_cost(reid_cost, h_labels, d_labels)
+
+    depth_masks = jnp.stack([t_valid & t_confirmed & (t_depth == d)
+                             for d in range(n_depth)])
+    base_iou_active = t_valid & t_confirmed & t_active
+    base_unconfirmed = t_valid & ~t_confirmed
+    col4row0 = jnp.full(tlbrs.shape[0], -1, jnp.int32)
+    return (cost, iou_cost, reid_cost, occluded, h_reid_ok, depth_masks,
+            base_iou_active, base_unconfirmed, d_valid, col4row0)
+
+
+def _stage_core(exclude_matched: bool, cost, base_mask, u_det,
+                col4row_final):
+    """One auction stage: solve, absorb matches, consume detections."""
+    row_valid = base_mask & (col4row_final < 0) if exclude_matched \
+        else base_mask
+    _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=1e-2)
+    matched = (c4r >= 0) & row_valid
+    col4row_final = jnp.where(matched, c4r, col4row_final)
+    taken = jnp.zeros_like(u_det).at[
+        jnp.where(matched, c4r, u_det.shape[0])].set(True, mode='drop')
+    return u_det & ~taken, col4row_final
+
+
+def _finals_core(conf_thresh: float, max_reid_cost: float, dup_gate: float,
+                 confirm_hits: int,
+                 tlbrs, t_valid, ages, hits, d_tlbrs, d_conf,
+                 reid_cost, h_reid_ok, occluded, u_det, col4row_final):
+    """Greedy reID + duplicate-rectify stages (tracker.py:229-241,
+    368-387)."""
+    t_confirmed = hits >= confirm_hits
+    t_active = ages < 2
+    u_det_conf = u_det & (d_conf >= conf_thresh)
+    reid_cols = u_det_conf & ~occluded
+    _, reid_c4r = asg.greedy_match_arrays(reid_cost, h_reid_ok, reid_cols,
+                                          max_reid_cost)
+    matched_mask = col4row_final >= 0
+    inactive_matched = matched_mask & ~t_active
+    u_active = t_valid & t_confirmed & t_active & ~matched_mask
+    safe_col = jnp.where(matched_mask, col4row_final, 0)
+    m_boxes = d_tlbrs[safe_col]
+    rect_cost = dist.iou_dist(tlbrs, m_boxes)
+    _, rect_c4r = asg.greedy_match_arrays(rect_cost, u_active,
+                                          inactive_matched, dup_gate)
+    return u_det_conf, reid_c4r, rect_c4r
+
+
+_assoc_costs_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
+    'iou_gate', 'fill_val', 'occlusion_thresh',
+    'confirm_hits'))(_assoc_costs_core)
+
+_stage_kernel = partial(jax.jit,
+                        static_argnames=('exclude_matched',))(_stage_core)
+
+_finals_kernel = partial(jax.jit, static_argnames=(
+    'conf_thresh', 'max_reid_cost', 'dup_gate',
+    'confirm_hits'))(_finals_core)
+
+
 def _cascade_part(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
                   motion_weight: float, max_assoc_cost: float,
                   iou_gate: float, fill_val: float,
@@ -560,11 +660,6 @@ _assoc_kernel = partial(jax.jit, static_argnames=(
     'max_reid_cost', 'dup_gate', 'confirm_hits', 'max_age',
     'history_size'))(_assoc_core)
 
-_cascade_kernel = partial(jax.jit, static_argnames=(
-    'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
-    'iou_gate', 'fill_val', 'occlusion_thresh', 'conf_thresh',
-    'max_reid_cost', 'dup_gate', 'confirm_hits'))(_cascade_part)
-
 _commit_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'confirm_hits', 'max_age', 'history_size'))(_commit_part)
 
@@ -745,16 +840,32 @@ class MultiTracker:
 
         n_depth = (self.max_age + 2) // 2
         fill_val = min(self.max_assoc_cost + 0.1, 1.0)
-        # two chained dispatches (zero host reads): the cascade's
-        # auction/greedy while-loops need their own compilation unit to
-        # keep VMEM residency (see _cascade_part)
-        cascade_out = _cascade_kernel(
-            self.kf_cfg, self.metric, n_depth, self.motion_weight,
-            self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
-            self.occlusion_thresh, self.conf_thresh, self.max_reid_cost,
+        # multi-dispatch cascade (zero host reads): every solver
+        # while-loop runs in its own small kernel to keep VMEM residency
+        # (see the _assoc_costs_core comment block)
+        st = self._dev_state
+        (cost, iou_cost, reid_cost, occluded, h_reid_ok, depth_masks,
+         base_iou_active, base_unconf, u_det, col4row) = \
+            _assoc_costs_kernel(
+                self.kf_cfg, self.metric, n_depth, self.motion_weight,
+                self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
+                self.occlusion_thresh, self.confirm_hits,
+                st, self._hist_store,
+                d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
+                emb_dev)
+        for d in range(n_depth):
+            u_det, col4row = _stage_kernel(
+                False, cost, depth_masks[d], u_det, col4row)
+        u_det, col4row = _stage_kernel(
+            True, iou_cost, base_iou_active, u_det, col4row)
+        u_det, col4row = _stage_kernel(
+            False, iou_cost, base_unconf, u_det, col4row)
+        u_det_conf, reid_c4r, rect_c4r = _finals_kernel(
+            self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh, self.confirm_hits,
-            self._dev_state, self._hist_store,
-            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev)
+            st[2], st[3], st[4], st[5], d_tlbrs_dev, d_conf_dev,
+            reid_cost, h_reid_ok, occluded, u_det, col4row)
+        cascade_out = (occluded, col4row, u_det_conf, reid_c4r, rect_c4r)
         new_state, new_hist, info = _commit_kernel(
             self.kf_cfg, self.confirm_hits, self.max_age,
             self.history_size,
