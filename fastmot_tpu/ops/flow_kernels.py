@@ -177,47 +177,46 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             + c * fy * (1 - fx) + d * fy * fx)
 
 
-def _patch_table(img: jax.Array, win: int) -> jax.Array:
-    """[H*W, win*win] table of the win x win window around every pixel.
-
-    Built from win^2 shifted copies (pure vectorized shifts); turns the
-    per-point window sampling of LK into CONTIGUOUS-ROW gathers, which
-    the TPU lowers efficiently — the naive per-pixel gather formulation
-    measured >100 ms per frame on scattered real keypoints. (An XLA
-    im2col build via conv_general_dilated_patches was tried and measured
-    2.7 ms SLOWER per gap frame: the shifted copies lower to async
-    early-dispatched copy-starts that overlap preceding compute, while
-    the patch conv serializes into the kernel's critical path.)
-    """
+def _window_table(img: jax.Array, win: int) -> jax.Array:
+    """[H*W, (win+1)^2] table of the (win+1) x (win+1) window anchored at
+    every pixel's top-left: row (y, x) holds img[y-half : y-half+win+1,
+    x-half : x-half+win+1] (edge-padded). One row then contains all four
+    corner ``win x win`` patches a bilinear sample needs, so LK's hot
+    loop does ONE row gather per point per iteration instead of four —
+    both less gather volume and 4x fewer random row accesses."""
     h, w = img.shape
     half = (win - 1) // 2
-    pad = jnp.pad(img, half, mode='edge')
+    wide = win + 1
+    pad = jnp.pad(img, ((half, half + 1), (half, half + 1)), mode='edge')
     taps = [pad[dy:dy + h, dx:dx + w]
-            for dy in range(win) for dx in range(win)]
-    return jnp.stack(taps, axis=-1).reshape(h * w, win * win)
+            for dy in range(wide) for dx in range(wide)]
+    return jnp.stack(taps, axis=-1).reshape(h * w, wide * wide)
 
 
-def _sample_patches(tab: jax.Array, w: int, h: int,
+def _sample_patches(tab: jax.Array, w: int, h: int, win: int,
                     x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinearly interpolated patch rows at subpixel points: ONE gather of
-    the four corner rows per point ([P, 4] indices -> [P, 4, row]) plus a
-    lerp. ``tab`` may hold several concatenated tables along the row."""
+    """Bilinearly interpolated patch rows at subpixel points from a
+    _window_table: ONE row gather per point, then the four corner
+    patches come from static slices of the row. ``tab`` may hold several
+    concatenated (win+1)^2 tables along the row (value | d/dx | d/dy)."""
+    wide = win + 1
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
-    idx = jnp.stack([y0 * w + x0, y0 * w + x1,
-                     y1 * w + x0, y1 * w + x1], axis=-1)     # [P, 4]
-    rows = jnp.take(tab, idx, axis=0)                        # [P, 4, R]
-    wts = jnp.stack([(1 - fy[:, 0]) * (1 - fx[:, 0]),
-                     (1 - fy[:, 0]) * fx[:, 0],
-                     fy[:, 0] * (1 - fx[:, 0]),
-                     fy[:, 0] * fx[:, 0]], axis=-1)          # [P, 4]
-    return jnp.einsum('pf,pfr->pr', wts, rows)
+    fx = (x - x0)[:, None, None, None]
+    fy = (y - y0)[:, None, None, None]
+    rows = jnp.take(tab, y0 * w + x0, axis=0)                # [P, C*6*6]
+    p = rows.shape[0]
+    c = tab.shape[1] // (wide * wide)
+    r = rows.reshape(p, c, wide, wide)
+    p00 = r[:, :, :win, :win]
+    p01 = r[:, :, :win, 1:]
+    p10 = r[:, :, 1:, :win]
+    p11 = r[:, :, 1:, 1:]
+    out = ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
+           + fy * (1 - fx) * p10 + fy * fx * p11)
+    return out.reshape(p, c * win * win)
 
 
 def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
@@ -230,7 +229,7 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
     the displacement; the result seeds the next finer level. Returns
     (new_pts, status, err) with err = mean |patch difference| as in OpenCV.
 
-    Window sampling goes through per-level patch tables (_patch_table) so
+    Window sampling goes through per-level window tables (_window_table) so
     every memory access is a contiguous-row gather.
     """
     n_levels = len(prev_pyr)
@@ -243,16 +242,15 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         scale = 1.0 / (2 ** level)
         p = pts * scale              # template positions at this level
 
-        ww0 = spec.win * spec.win
-        tpl_tab = prev_tabs[level]            # value | d/dx | d/dy
-        c_tab = cur_tabs[level][:, :ww0]      # value columns only
+        val_tab, grad_tab = prev_tabs[level]  # [H*W, 36], [H*W, 72]
+        c_tab = cur_tabs[level][0]            # current-frame value table
 
         px, py = p[:, 0], p[:, 1]
         ww = spec.win * spec.win
-        tpl = _sample_patches(tpl_tab, w, h, px, py)
-        t_patch = tpl[:, :ww]
-        gx = tpl[:, ww:2 * ww]
-        gy = tpl[:, 2 * ww:]
+        t_patch = _sample_patches(val_tab, w, h, spec.win, px, py)
+        tpl_g = _sample_patches(grad_tab, w, h, spec.win, px, py)
+        gx = tpl_g[:, :ww]
+        gy = tpl_g[:, ww:]
         gxx = jnp.sum(gx * gx, axis=1)
         gyy = jnp.sum(gy * gy, axis=1)
         gxy = jnp.sum(gx * gy, axis=1)
@@ -281,7 +279,8 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
 
         def body(state):
             v, active, it, err = state
-            c_patch = _sample_patches(c_tab, w, h, px + v[:, 0], py + v[:, 1])
+            c_patch = _sample_patches(c_tab, w, h, spec.win,
+                                      px + v[:, 0], py + v[:, 1])
             diff = t_patch - c_patch
             err = jnp.where(active,
                             jnp.mean(jnp.abs(diff), axis=1), err)
@@ -559,10 +558,10 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     for img in pyr:
         gx_img = jnp.gradient(img, axis=1)
         gy_img = jnp.gradient(img, axis=0)
-        tabs.append(jnp.concatenate([_patch_table(img, spec.win),
-                                     _patch_table(gx_img, spec.win),
-                                     _patch_table(gy_img, spec.win)],
-                                    axis=1))
+        tabs.append((_window_table(img, spec.win),
+                     jnp.concatenate([_window_table(gx_img, spec.win),
+                                      _window_table(gy_img, spec.win)],
+                                     axis=1)))
 
     resp = _shi_tomasi_response(gray)
     cand_pts, cand_score = _grid_candidates(resp, CELL)
@@ -582,14 +581,12 @@ def preprocess(spec: FlowSpec, frame: np.ndarray):
     return _preprocess_jit(spec, jnp.asarray(frame))
 
 
-def flow_step_core(spec: FlowSpec, prev_state, cur_state,
-                   t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
-    """One flow step over two preprocessed frame states (see
-    _preprocess_jit): corner management, one batched LK solve, camera
-    homography RANSAC, per-track similarity fits."""
+def flow_points_core(spec: FlowSpec, prev_state, t_tlbrs, t_valid,
+                     t_kps, t_kp_valid):
+    """Corner management + keypoint/background point assembly — the
+    pre-LK half of a flow step (no while-loops; cheap mask algebra)."""
     (prev_pyr, prev_tabs, cand_pts, cand_score,
      bg_pts_full, bg_score) = prev_state
-    cur_pyr, cur_tabs = cur_state[0], cur_state[1]
     w_f, h_f = spec.size
     frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
     t_idx = jnp.arange(MAX_FLOW_TRACKS)
@@ -656,16 +653,34 @@ def flow_step_core(spec: FlowSpec, prev_state, cur_state,
     bg_kp = bg_pts_full[bg_top_i]
     bg_valid = jnp.isfinite(bg_top_score)
 
-    # ---- one batched LK solve for all points -----------------------------
-    opt_scale = jnp.array([spec.opt_scale[0], spec.opt_scale[1]])
     all_prev = jnp.concatenate([kps.reshape(-1, 2), bg_kp], axis=0)
     all_valid = jnp.concatenate([kp_valid.reshape(-1), bg_valid], axis=0)
+    return all_prev, all_valid, inside
+
+
+def lk_core(spec: FlowSpec, prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+            all_prev, all_valid):
+    """One batched pyramidal-LK solve for all points — ONLY the
+    while-loops, so it can compile as its own small kernel (inside a
+    large module the loop state spills out of VMEM and every
+    Gauss-Newton round costs several times its standalone time; same
+    effect as the association solvers, see tracker._assoc_costs_core)."""
+    opt_scale = jnp.array([spec.opt_scale[0], spec.opt_scale[1]])
     cur_scaled, status, err = lk_pyramidal(
         prev_pyr, prev_tabs, cur_pyr, cur_tabs,
         all_prev * opt_scale, all_valid, spec)
     all_cur = cur_scaled / opt_scale
     status = status & all_valid & (err < spec.max_error)
+    return all_cur, status
 
+
+def flow_post_core(spec: FlowSpec, t_tlbrs, t_valid, inside,
+                   all_prev, all_cur, status, seed):
+    """RANSAC homography/similarity + box estimates — the post-LK half
+    of a flow step (scan-based fixed-budget solvers, no while-loops)."""
+    w_f, h_f = spec.size
+    frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
+    t_idx = jnp.arange(MAX_FLOW_TRACKS)
     n_track_pts = MAX_FLOW_TRACKS * KP_PER_TRACK
     trk_prev = all_prev[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
     trk_cur = all_cur[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
@@ -687,6 +702,7 @@ def flow_step_core(spec: FlowSpec, prev_state, cur_state,
     cur_in_frame = _in_box(trk_cur, frame_tlbr[None, None, :])
     cur_in_other = _in_box(trk_cur[:, :, None, :], inside[None, None, :, :]) \
         & t_valid[None, None, :]
+    nearer = (t_idx[None, None, :] < t_idx[:, None, None])
     cur_blocked = jnp.any(cur_in_other & nearer, axis=-1)
     match_valid = trk_status & cur_in_frame & ~cur_blocked
 
@@ -716,6 +732,23 @@ def flow_step_core(spec: FlowSpec, prev_state, cur_state,
     return (h_ok, h_mat, bg_prev, bg_cur, bg_inlier & bg_status,
             est, est_valid, inlier_ratio.astype(jnp.float32),
             trk_prev, trk_cur, out_kp_valid)
+
+
+def flow_step_core(spec: FlowSpec, prev_state, cur_state,
+                   t_tlbrs, t_valid, t_kps, t_kp_valid, seed):
+    """One flow step over two preprocessed frame states (see
+    _preprocess_jit): corner management, one batched LK solve, camera
+    homography RANSAC, per-track similarity fits. Composition of
+    flow_points_core / lk_core / flow_post_core as a single traceable
+    unit (used by the fused chained-track kernel; the single-stream hot
+    path dispatches the three parts separately)."""
+    all_prev, all_valid, inside = flow_points_core(
+        spec, prev_state, t_tlbrs, t_valid, t_kps, t_kp_valid)
+    all_cur, status = lk_core(
+        spec, prev_state[0], prev_state[1], cur_state[0], cur_state[1],
+        all_prev, all_valid)
+    return flow_post_core(spec, t_tlbrs, t_valid, inside,
+                          all_prev, all_cur, status, seed)
 
 
 _flow_step_jit = partial(jax.jit, static_argnames=('spec',))(flow_step_core)

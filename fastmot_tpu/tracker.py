@@ -215,6 +215,119 @@ _chained_track_kernel = partial(
 )(_chained_track_core)
 
 
+# ---------------------------------------------------------------------------
+# Multi-dispatch gap frame (single-stream hot path): preprocess ->
+# points -> LK -> commit as four chained kernels. Pyramidal LK's
+# while-loops compile an order of magnitude faster in their own small
+# kernel (same VMEM-residency effect as the association solvers); the
+# pyramids/tables already materialize at kernel boundaries because they
+# persist as flow state across frames, so the split adds no HBM traffic.
+# ---------------------------------------------------------------------------
+
+def _gap_points_core(spec, state, prev_state):
+    """Depth sort + corner management + LK point assembly."""
+    from .ops import flow_kernels as fk
+
+    (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+     lost_pending, inl, kps, kp_valid, feat_sum, feat_count) = state
+    f_cap = fk.MAX_FLOW_TRACKS
+    active = valid & (ages < 2)
+    key = -tlbrs[:, 3] + ages.astype(jnp.float32) * 1e-3
+    key = jnp.where(active, key, jnp.inf)
+    order = jnp.argsort(key)
+    forder = order[:f_cap]
+    f_valid = active[forder]
+    f_tlbrs = tlbrs[forder]
+    f_kps = kps[forder]
+    f_kpv = kp_valid[forder] & f_valid[:, None]
+    all_prev, all_valid, inside = fk.flow_points_core(
+        spec, prev_state, f_tlbrs, f_valid, f_kps, f_kpv)
+    return all_prev, all_valid, inside, forder, f_tlbrs, f_valid
+
+
+def _gap_commit_core(cfg: KalmanConfig, spec, age_penalty: float,
+                     confirm_hits: int, state,
+                     inside, f_tlbrs, f_valid, forder,
+                     all_prev, all_cur, status, seed,
+                     trans, acc_cov, frame_tlbr):
+    """RANSAC + KF warp/predict/update + validity commit (the post-LK
+    half of _chained_track_core, code-identical)."""
+    from .ops import flow_kernels as fk
+
+    (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
+     lost_pending, inl, kps, kp_valid, feat_sum, feat_count) = state
+    t_cap = means.shape[0]
+    f_cap = fk.MAX_FLOW_TRACKS
+    active = valid & (ages < 2)
+
+    (h_ok, h_mat, bg_prev, bg_cur, bg_inlier, est, est_valid, inl_ratio,
+     trk_prev, trk_cur, out_kp_valid) = fk.flow_post_core(
+        spec, f_tlbrs, f_valid, inside, all_prev, all_cur, status, seed)
+
+    pos = jnp.full(t_cap, f_cap, jnp.int32).at[forder].set(
+        jnp.arange(f_cap, dtype=jnp.int32))
+    in_flow = (pos < f_cap) & active
+    slot = jnp.minimum(pos, f_cap - 1)
+    has_klt = in_flow & est_valid[slot]
+    klt_tlbrs = est[slot]
+    new_inl = jnp.where(has_klt, inl_ratio[slot], inl)
+
+    kps_new = jnp.where(in_flow[:, None, None], trk_cur[slot], kps)
+    kpv_new = jnp.where(in_flow[:, None], out_kp_valid[slot], kp_valid)
+    kpv_new = jnp.where((in_flow & ~est_valid[slot])[:, None], False,
+                        kpv_new)
+
+    mult = jnp.maximum(age_penalty * ages.astype(jnp.float32), 1.0) / \
+        jnp.maximum(new_inl, 1e-6)
+    h_use = jnp.where(h_ok, h_mat.astype(jnp.float32),
+                      jnp.eye(3, dtype=jnp.float32))
+    means, covs = kf.batched_warp(means, covs, h_use)
+    means, covs = kf.batched_predict(cfg, means, covs, trans, acc_cov)
+    up_means, up_covs = kf.batched_update(
+        cfg, means, covs, klt_tlbrs, jnp.ones(t_cap, dtype=bool), mult)
+    means = jnp.where(has_klt[:, None], up_means, means)
+    covs = jnp.where(has_klt[:, None, None], up_covs, covs)
+    next_tlbrs = geom.as_tlbr(means[:, :4])
+    ios_vals = geom.ios(next_tlbrs,
+                        jnp.broadcast_to(frame_tlbr, next_tlbrs.shape))
+
+    lost = valid & (ios_vals < 0.5)
+    new_valid = jnp.where(h_ok, valid & ~lost, jnp.zeros_like(valid))
+    confirmed = hits >= confirm_hits
+    new_lost_pending = jnp.where(h_ok, lost_pending | (lost & confirmed),
+                                 jnp.zeros_like(lost_pending))
+    kpv_new = kpv_new & h_ok & new_valid[:, None]
+    new_tlbrs = jnp.where(valid[:, None], next_tlbrs, tlbrs)
+
+    new_state = (means, covs, new_tlbrs, new_valid, ages, hits, labels,
+                 start_f, end_f, new_lost_pending, new_inl,
+                 kps_new, kpv_new, feat_sum, feat_count)
+    next_seed = seed + jnp.uint32(1)
+    info = jnp.concatenate([
+        a.astype(jnp.float32).reshape(-1) for a in (
+            h_ok.reshape(-1), h_mat, next_tlbrs, lost, has_klt, klt_tlbrs,
+            new_inl, bg_prev, bg_cur, bg_inlier,
+            est_valid[slot] & in_flow)])
+    return new_state, info, next_seed
+
+
+_gap_points_kernel = partial(
+    jax.jit, static_argnames=('spec',))(_gap_points_core)
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def _lk_kernel(spec, prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+               all_prev, all_valid):
+    from .ops import flow_kernels as fk
+    return fk.lk_core(spec, prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+                      all_prev, all_valid)
+
+
+_gap_commit_kernel = partial(
+    jax.jit, static_argnames=('cfg', 'spec', 'age_penalty', 'confirm_hits')
+)(_gap_commit_core)
+
+
 def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
                     motion_weight: float, max_assoc_cost: float,
                     iou_gate: float, fill_val: float,
@@ -790,11 +903,21 @@ class MultiTracker:
         self.overflow.bump('flow_tracks_clipped',
                            n_active - fk.MAX_FLOW_TRACKS)
 
-        cur_state, new_state, info, next_seed = _chained_track_kernel(
-            self.kf_cfg, self.flow.spec, float(self.age_penalty),
-            self.confirm_hits,
-            self.flow.device_state, jnp.asarray(frame),
-            self.flow.seed_dev, self._dev_state,
+        # four chained dispatches (zero host reads): preprocess, point
+        # assembly, pyramidal LK in its own small kernel, then
+        # RANSAC/KF/commit — see the _gap_points_core comment block
+        spec = self.flow.spec
+        prev_state = self.flow.device_state
+        cur_state = fk._preprocess_jit(spec, jnp.asarray(frame))
+        all_prev, all_valid, inside, forder, f_tlbrs, f_valid = \
+            _gap_points_kernel(spec, self._dev_state, prev_state)
+        all_cur, status = _lk_kernel(
+            spec, prev_state[0], prev_state[1], cur_state[0], cur_state[1],
+            all_prev, all_valid)
+        new_state, info, next_seed = _gap_commit_kernel(
+            self.kf_cfg, spec, float(self.age_penalty), self.confirm_hits,
+            self._dev_state, inside, f_tlbrs, f_valid, forder,
+            all_prev, all_cur, status, self.flow.seed_dev,
             self._trans_mat, self._acc_cov, self._frame_rect_dev)
         self._dev_state = new_state
         self.flow.advance(cur_state, next_seed)
