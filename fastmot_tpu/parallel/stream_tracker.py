@@ -28,10 +28,17 @@ import numpy as np
 
 from ..kalman import KalmanConfig
 from ..ops import distance as dist
-from ..tracker import (MAX_DETS, MAX_TRACKS, MultiTracker, _assoc_core,
-                       _chained_track_core)
+from ..tracker import (MAX_DETS, MAX_TRACKS, MultiTracker,
+                       _assoc_costs_core, _commit_part, _finals_core,
+                       _gap_commit_core, _gap_points_core, _stage_core)
 
 __all__ = ['StreamTracker']
+
+# The batched frame paths mirror the single-stream multi-dispatch
+# structure (tracker._assoc_costs_core / _gap_points_core comment
+# blocks): each solver while-loop gets its own vmapped compilation unit
+# so it keeps VMEM residency; stages chain through [S, ...] device
+# arrays with zero host reads.
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -40,42 +47,83 @@ def _preprocess_batch_kernel(spec, frames):
     return jax.vmap(partial(fk._preprocess_jit, spec))(frames)
 
 
+@partial(jax.jit, static_argnames=('spec',))
+def _gap_points_batch(spec, states, prev_states):
+    return jax.vmap(partial(_gap_points_core, spec))(states, prev_states)
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def _lk_batch(spec, prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+              all_prev, all_valid):
+    from ..ops import flow_kernels as fk
+    return jax.vmap(partial(fk.lk_core, spec))(
+        prev_pyr, prev_tabs, cur_pyr, cur_tabs, all_prev, all_valid)
+
+
 @partial(jax.jit, static_argnames=('cfg', 'spec', 'age_penalty',
                                    'confirm_hits'))
-def _track_batch_kernel(cfg: KalmanConfig, spec, age_penalty: float,
-                        confirm_hits: int, prev_states, frames, seeds,
-                        states, trans, acc_cov, frame_tlbr):
-    """All streams' tracking-only frame in ONE dispatch (vmapped
-    _chained_track_core over the leading stream axis)."""
-    f = partial(_chained_track_core, cfg, spec, age_penalty, confirm_hits)
-    return jax.vmap(f, in_axes=(0, 0, 0, 0, None, None, None))(
-        prev_states, frames, seeds, states, trans, acc_cov, frame_tlbr)
+def _gap_commit_batch(cfg: KalmanConfig, spec, age_penalty: float,
+                      confirm_hits: int, states, inside, f_tlbrs, f_valid,
+                      forder, all_prev, all_cur, status, seeds,
+                      trans, acc_cov, frame_tlbr):
+    f = partial(_gap_commit_core, cfg, spec, age_penalty, confirm_hits)
+    return jax.vmap(f, in_axes=(0,) * 9 + (None, None, None))(
+        states, inside, f_tlbrs, f_valid, forder, all_prev, all_cur,
+        status, seeds, trans, acc_cov, frame_tlbr)
 
 
 @partial(jax.jit, static_argnames=(
     'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
-    'iou_gate', 'fill_val', 'occlusion_thresh', 'conf_thresh',
-    'max_reid_cost', 'dup_gate', 'confirm_hits', 'max_age', 'history_size'))
-def _assoc_batch_kernel(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
-                        motion_weight: float, max_assoc_cost: float,
-                        iou_gate: float, fill_val: float,
-                        occlusion_thresh: float, conf_thresh: float,
-                        max_reid_cost: float, dup_gate: float,
-                        confirm_hits: int, max_age: int, history_size: int,
-                        states, hists, dets, embs, frame_id, frame_tlbr):
-    """All streams' association frame in ONE dispatch (vmapped
-    _assoc_core: cascade + lifecycle decisions + commit per stream)."""
-    f = partial(_assoc_core, cfg, metric, n_depth, motion_weight,
+    'iou_gate', 'fill_val', 'occlusion_thresh', 'confirm_hits'))
+def _assoc_costs_batch(cfg: KalmanConfig, metric: dist.Metric,
+                       n_depth: int, motion_weight: float,
+                       max_assoc_cost: float, iou_gate: float,
+                       fill_val: float, occlusion_thresh: float,
+                       confirm_hits: int, states, hists, dets, embs):
+    f = partial(_assoc_costs_core, cfg, metric, n_depth, motion_weight,
                 max_assoc_cost, iou_gate, fill_val, occlusion_thresh,
-                conf_thresh, max_reid_cost, dup_gate, confirm_hits,
-                max_age, history_size)
+                confirm_hits)
 
     def one(state, hist, det, emb):
         d_tlbrs, d_labels, d_conf, d_valid = det
-        return f(state, hist, d_tlbrs, d_labels, d_conf, d_valid, emb,
-                 frame_id, frame_tlbr)
+        return f(state, hist, d_tlbrs, d_labels, d_conf, d_valid, emb)
 
     return jax.vmap(one)(states, hists, dets, embs)
+
+
+@partial(jax.jit, static_argnames=('exclude_matched',))
+def _stage_batch(exclude_matched: bool, cost, base_mask, u_det,
+                 col4row_final):
+    return jax.vmap(partial(_stage_core, exclude_matched))(
+        cost, base_mask, u_det, col4row_final)
+
+
+@partial(jax.jit, static_argnames=('conf_thresh', 'max_reid_cost',
+                                   'dup_gate', 'confirm_hits'))
+def _finals_batch(conf_thresh: float, max_reid_cost: float,
+                  dup_gate: float, confirm_hits: int,
+                  tlbrs, t_valid, ages, hits, d_tlbrs, d_conf,
+                  reid_cost, h_reid_ok, occluded, u_det, col4row_final):
+    f = partial(_finals_core, conf_thresh, max_reid_cost, dup_gate,
+                confirm_hits)
+    return jax.vmap(f)(tlbrs, t_valid, ages, hits, d_tlbrs, d_conf,
+                       reid_cost, h_reid_ok, occluded, u_det,
+                       col4row_final)
+
+
+@partial(jax.jit, static_argnames=('cfg', 'confirm_hits', 'max_age',
+                                   'history_size'))
+def _commit_batch(cfg: KalmanConfig, confirm_hits: int, max_age: int,
+                  history_size: int, states, hists, dets, embs,
+                  frame_id, frame_tlbr, cascade_out):
+    f = partial(_commit_part, cfg, confirm_hits, max_age, history_size)
+
+    def one(state, hist, det, emb, casc):
+        d_tlbrs, d_labels, d_conf, d_valid = det
+        return f(state, hist, d_tlbrs, d_labels, d_conf, d_valid, emb,
+                 frame_id, frame_tlbr, casc)
+
+    return jax.vmap(one)(states, hists, dets, embs, cascade_out)
 
 
 class StreamTracker:
@@ -202,11 +250,18 @@ class StreamTracker:
             trk.overflow.bump('flow_tracks_clipped',
                               n_active - fk.MAX_FLOW_TRACKS)
 
-        cur_pre, new_state, infos, next_seeds = _track_batch_kernel(
-            self.kf_cfg, t0.flow.spec, float(t0.age_penalty),
-            t0.confirm_hits, self._prev_pre, frames, self._seeds,
-            self._dev_state, t0._trans_mat, t0._acc_cov,
-            t0._frame_rect_dev)
+        spec = t0.flow.spec
+        cur_pre = self._preprocess_batch(frames)
+        all_prev, all_valid, inside, forder, f_tlbrs, f_valid = \
+            _gap_points_batch(spec, self._dev_state, self._prev_pre)
+        all_cur, status = _lk_batch(
+            spec, self._prev_pre[0], self._prev_pre[1],
+            cur_pre[0], cur_pre[1], all_prev, all_valid)
+        new_state, infos, next_seeds = _gap_commit_batch(
+            self.kf_cfg, spec, float(t0.age_penalty), t0.confirm_hits,
+            self._dev_state, inside, f_tlbrs, f_valid, forder,
+            all_prev, all_cur, status, self._seeds,
+            t0._trans_mat, t0._acc_cov, t0._frame_rect_dev)
         self._dev_state = new_state
         self._prev_pre = cur_pre
         self._seeds = next_seeds
@@ -225,13 +280,31 @@ class StreamTracker:
         t0 = self.trackers[0]
         n_depth = (t0.max_age + 2) // 2
         fill_val = min(t0.max_assoc_cost + 0.1, 1.0)
-        new_state, new_hist, infos = _assoc_batch_kernel(
-            self.kf_cfg, t0.metric, n_depth, t0.motion_weight,
-            t0.max_assoc_cost, 1.0 - t0.iou_thresh, fill_val,
-            t0.occlusion_thresh, t0.conf_thresh, t0.max_reid_cost,
-            1.0 - t0.duplicate_thresh, t0.confirm_hits, t0.max_age,
-            t0.history_size, self._dev_state, self._hist_store,
-            det_batch, emb_batch, jnp.int32(frame_id), t0._frame_rect_dev)
+        st = self._dev_state
+        (cost, iou_cost, reid_cost, occluded, h_reid_ok, depth_masks,
+         base_iou_active, base_unconf, u_det, col4row) = \
+            _assoc_costs_batch(
+                self.kf_cfg, t0.metric, n_depth, t0.motion_weight,
+                t0.max_assoc_cost, 1.0 - t0.iou_thresh, fill_val,
+                t0.occlusion_thresh, t0.confirm_hits,
+                st, self._hist_store, det_batch, emb_batch)
+        for d in range(n_depth):
+            u_det, col4row = _stage_batch(
+                False, cost, depth_masks[:, d], u_det, col4row)
+        u_det, col4row = _stage_batch(
+            True, iou_cost, base_iou_active, u_det, col4row)
+        u_det, col4row = _stage_batch(
+            False, iou_cost, base_unconf, u_det, col4row)
+        u_det_conf, reid_c4r, rect_c4r = _finals_batch(
+            t0.conf_thresh, t0.max_reid_cost, 1.0 - t0.duplicate_thresh,
+            t0.confirm_hits, st[2], st[3], st[4], st[5],
+            det_batch[0], det_batch[2], reid_cost, h_reid_ok, occluded,
+            u_det, col4row)
+        cascade_out = (occluded, col4row, u_det_conf, reid_c4r, rect_c4r)
+        new_state, new_hist, infos = _commit_batch(
+            self.kf_cfg, t0.confirm_hits, t0.max_age, t0.history_size,
+            st, self._hist_store, det_batch, emb_batch,
+            jnp.int32(frame_id), t0._frame_rect_dev, cascade_out)
         self._dev_state = new_state
         self._hist_store = new_hist
         for s, trk in enumerate(self.trackers):
