@@ -66,26 +66,29 @@ class Detector(abc.ABC):
         raise NotImplementedError
 
 
+def _lerp_matrix(n_in: int, n_out: int) -> jax.Array:
+    """[n_out, n_in] bilinear interpolation weights (half-pixel centers,
+    edge-clamped): a dense two-tap hat matrix, so a resize becomes two
+    matmuls on the MXU instead of a column gather (TPU column gathers on
+    a [720, 1280, 3] frame lowered to a serial scan measured ~2 ms; the
+    matmul form is ~0.1 ms — same lesson as crop_resize_batch)."""
+    pos = jnp.clip((jnp.arange(n_out, dtype=jnp.float32) + 0.5)
+                   * (n_in / n_out) - 0.5, 0.0, n_in - 1.0)
+    src = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - src[None, :]))
+
+
 def _resize_bilinear_rgb(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Bilinear resize of an HWC image with half-pixel centers."""
+    """Bilinear resize of an HWC image with half-pixel centers, as two
+    interpolation-weight matmuls on the MXU."""
     h, w = img.shape[0], img.shape[1]
     oh, ow = out_hw
-    ys = jnp.clip((jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5,
-                  0.0, h - 1.0)
-    xs = jnp.clip((jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5,
-                  0.0, w - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[:, None, None]
-    wx = (xs - x0)[None, :, None]
-    a = img[y0][:, x0]
-    b = img[y0][:, x1]
-    c = img[y1][:, x0]
-    d = img[y1][:, x1]
-    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-            + c * wy * (1 - wx) + d * wy * wx)
+    wy = _lerp_matrix(h, oh)
+    wx = _lerp_matrix(w, ow)
+    tmp = jnp.einsum('oy,yxc->oxc', wy, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum('px,oxc->opc', wx, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _nms_and_gate(det_out, label_mask, conf_thresh, nms_thresh, max_area,
@@ -217,16 +220,26 @@ class YOLODetector(Detector):
         decode = self._decode_heads
 
         @jax.jit
-        def kernel(params, frame):
+        def net_kernel(params, frame):
             f = frame.astype(jnp.float32)
             rgb = f[..., ::-1] / 255.0
             resized = _resize_bilinear_rgb(rgb, (rh, rw))
             canvas = jnp.full((ih, iw, 3), 0.5, jnp.float32)
             canvas = jax.lax.dynamic_update_slice(canvas, resized, (oy, ox, 0))
             heads = module.apply(params, canvas[None])
-            det_out = decode(heads, anchors, scales, (ih, iw), new_coords)[0]
+            return decode(heads, anchors, scales, (ih, iw), new_coords)[0]
+
+        # NMS in its own small kernel: the score-ordered suppression
+        # while-loop runs ~an order of magnitude faster than when fused
+        # into the conv graph's compilation unit (VMEM residency — same
+        # effect as the tracker's solvers, tracker._assoc_costs_core)
+        @jax.jit
+        def nms_kernel(det_out):
             return _nms_and_gate(det_out, label_mask, conf_thresh, nms_thresh,
                                  max_area, min_ar, scale_wh, offset)
+
+        def kernel(params, frame):
+            return nms_kernel(net_kernel(params, frame))
 
         return kernel
 

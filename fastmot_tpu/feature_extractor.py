@@ -33,7 +33,7 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
                       out_hw: tuple[int, int],
-                      chunk: int = 8) -> jax.Array:
+                      chunk: int = 128) -> jax.Array:
     """Crop each box (inclusive corners, clamped to >= 0 like multi_crop,
     rect.py:92-97) and bilinearly resize to ``out_hw``. [N, H, W, 3].
 
@@ -41,8 +41,11 @@ def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
     interpolation-weight matmuls, ``out = Wy @ frame @ Wx^T``, which land
     on the MXU. The naive per-pixel gather version measured ~150 ms for
     128 boxes on TPU (scattered HBM gathers); this runs in ~1 ms. Boxes
-    are processed in ``chunk``-size groups under lax.map to bound the
-    [chunk, oh, W, 3] intermediate.
+    are processed in ``chunk``-size groups to bound the
+    [chunk, oh, W, 3] intermediate; the default (one chunk for the
+    padded 128-det batch, ~250 MB bf16 intermediate in HBM) avoids
+    lax.map entirely — the mapped version serialized 16 loop steps and
+    measured ~2.3 ms vs one big einsum pair the MXU streams through.
     """
     fh, fw = frame.shape[0], frame.shape[1]
     oh, ow = out_hw
@@ -83,6 +86,8 @@ def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
                          preferred_element_type=jnp.float32)
         return out
 
+    if n_chunks == 1:
+        return do_chunk(0)[:n]
     chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
     return chunks.reshape(n_chunks * cs, oh, ow, 3)[:n]
 

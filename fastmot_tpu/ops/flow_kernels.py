@@ -80,25 +80,25 @@ class FlowSpec:
 # ---------------------------------------------------------------------------
 
 def _resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Bilinear resize matching OpenCV's half-pixel-center convention."""
+    """Bilinear resize matching OpenCV's half-pixel-center convention,
+    as two interpolation-weight matmuls on the MXU (column gathers on a
+    full frame lower to a serial scan on TPU — see
+    detector._lerp_matrix)."""
     h, w = img.shape
     oh, ow = out_hw
-    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
-    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[:, None]
-    wx = (xs - x0)[None, :]
-    a = img[y0][:, x0]
-    b = img[y0][:, x1]
-    c = img[y1][:, x0]
-    d = img[y1][:, x1]
-    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
-            + c * wy * (1 - wx) + d * wy * wx)
+
+    def lerp_matrix(n_in, n_out):
+        pos = jnp.clip((jnp.arange(n_out, dtype=jnp.float32) + 0.5)
+                       * (n_in / n_out) - 0.5, 0.0, n_in - 1.0)
+        src = jnp.arange(n_in, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - src[None, :]))
+
+    wy = lerp_matrix(h, oh)
+    wx = lerp_matrix(w, ow)
+    tmp = jnp.einsum('oy,yx->ox', wy, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum('px,ox->op', wx, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _downsample2(img: jax.Array) -> jax.Array:

@@ -188,13 +188,24 @@ def _greedy_suppress(overlap: jax.Array, scores: jax.Array, valid: jax.Array,
     """Iteratively keep the highest-scoring remaining box and suppress
     others whose ``overlap`` with it exceeds ``thresh``.
 
-    The data-dependent while-loop of the reference becomes a
-    ``lax.while_loop`` over a remaining-mask — shape-stable, at most N
-    iterations, each a fully vectorized VPU step.
+    Wave-parallel formulation, EXACTLY equivalent to the sequential
+    greedy scan: each wave keeps every remaining box none of whose
+    still-remaining, earlier-in-greedy-order (higher score, first-index
+    tie-break) neighbors overlaps it beyond ``thresh``, then suppresses
+    the kept boxes' neighbors. A box greedy would keep becomes a wave
+    keep as soon as all its dominating neighbors are resolved
+    (suppressed), and a box greedy would suppress is suppressed in its
+    suppressor's wave — induction over greedy order. Wave count is the
+    suppression-chain depth (typically < 6), vs one sequential loop
+    round per KEPT box (profiled at ~2 ms for hundreds of kept boxes).
     """
     n = scores.shape[0]
     idx = jnp.arange(n)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    over = (overlap > thresh) & (idx[:, None] != idx[None, :])
+    # greedy visit order: higher score first, lower index on ties
+    dom = (scores[:, None] > scores[None, :]) | \
+        ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    sup_dom = over & dom      # j precedes i in greedy order AND overlaps
 
     def cond(state):
         _, remaining = state
@@ -202,11 +213,11 @@ def _greedy_suppress(overlap: jax.Array, scores: jax.Array, valid: jax.Array,
 
     def body(state):
         keep, remaining = state
-        masked_scores = jnp.where(remaining, scores, neg_inf)
-        i = jnp.argmax(masked_scores)
-        keep = keep | (idx == i)
-        suppress = overlap[i] > thresh
-        remaining = remaining & ~suppress & (idx != i)
+        dominated = jnp.any(sup_dom & remaining[:, None], axis=0)
+        wave = remaining & ~dominated
+        suppressed = jnp.any(over & wave[:, None], axis=0)
+        keep = keep | wave
+        remaining = remaining & ~wave & ~suppressed
         return keep, remaining
 
     keep0 = jnp.zeros(n, dtype=bool)

@@ -290,7 +290,7 @@ class StreamTracker:
                 st, self._hist_store, det_batch, emb_batch)
         for d in range(n_depth):
             u_det, col4row = _stage_batch(
-                False, cost, depth_masks[:, d], u_det, col4row)
+                False, cost, depth_masks[d], u_det, col4row)
         u_det, col4row = _stage_batch(
             True, iou_cost, base_iou_active, u_det, col4row)
         u_det, col4row = _stage_batch(

@@ -456,8 +456,8 @@ def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     reid_cost = dist.cdist(h_feats, d_embeddings, metric)
     reid_cost = asg.gate_cost(reid_cost, h_labels, d_labels)
 
-    depth_masks = jnp.stack([t_valid & t_confirmed & (t_depth == d)
-                             for d in range(n_depth)])
+    depth_masks = tuple(t_valid & t_confirmed & (t_depth == d)
+                        for d in range(n_depth))
     base_iou_active = t_valid & t_confirmed & t_active
     base_unconfirmed = t_valid & ~t_confirmed
     col4row0 = jnp.full(tlbrs.shape[0], -1, jnp.int32)

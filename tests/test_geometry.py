@@ -150,3 +150,19 @@ def test_nms(rng, diou):
     want = np_greedy_nms(b[:50], scores[:50], 0.5, diou=diou)
     np.testing.assert_array_equal(got[:50], want)
     assert not got[50:].any()
+
+
+def test_nms_wave_equals_sequential_dense(rng):
+    """The wave-parallel suppression must match the sequential greedy
+    scan exactly on dense, chain-heavy layouts (many mutual overlaps,
+    duplicate scores exercising the first-index tie-break)."""
+    for trial in range(5):
+        n = 200
+        b = random_boxes(rng, n, img=(400, 300))   # heavy overlap
+        scores = np.round(rng.uniform(0.1, 1.0, n), 2).astype(np.float32)
+        valid = rng.uniform(size=n) < 0.9
+        got = np.asarray(G.nms_mask(b, scores, valid, 0.3))
+        want_sub = np_greedy_nms(b[valid], scores[valid], 0.3, diou=False)
+        want = np.zeros(n, bool)
+        want[np.flatnonzero(valid)] = want_sub
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))
