@@ -76,12 +76,13 @@ def crop_resize_batch(frame: jax.Array, tlbrs: jax.Array,
             ysc[:, :, None] - src_y[None, None, :]))       # [c, oh, fh]
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(
             xsc[:, :, None] - src_x[None, None, :]))       # [c, ow, fw]
-        # rows: [c, oh, fh] @ [fh, fw*3] -> [c, oh, fw, 3]
-        tmp = jnp.einsum('nif,fwc->niwc', wy.astype(jnp.bfloat16),
+        # columns first: ow (128) < oh (256), so contracting the frame
+        # width down to ow before the row contraction halves the MACs
+        # vs rows-first (45+8.5 vs 90+15 GMAC for 128 crops at 720p)
+        tmp = jnp.einsum('njw,hwc->nhjc', wx.astype(jnp.bfloat16),
                          frame.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
-        # cols: [c, ow, fw] x [c, oh, fw, 3] -> [c, oh, ow, 3]
-        out = jnp.einsum('njw,niwc->nijc', wx.astype(jnp.bfloat16),
+        out = jnp.einsum('nif,nfjc->nijc', wy.astype(jnp.bfloat16),
                          tmp.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         return out
