@@ -224,6 +224,18 @@ _chained_track_kernel = partial(
 # persist as flow state across frames, so the split adds no HBM traffic.
 # ---------------------------------------------------------------------------
 
+def _gap_pre_core(spec, cur_frame, state, prev_state):
+    """Current-frame preprocess + depth sort + corner management + LK
+    point assembly in one dispatch (neither half contains a while-loop,
+    so fusing them is safe from the big-kernel loop penalty and saves
+    one enqueue — the dispatch RPC path is the single-stream frame-rate
+    limiter in the tunnel-attached environment)."""
+    from .ops import flow_kernels as fk
+
+    cur_state = fk._preprocess_jit(spec, cur_frame)
+    return (cur_state,) + _gap_points_core(spec, state, prev_state)
+
+
 def _gap_points_core(spec, state, prev_state):
     """Depth sort + corner management + LK point assembly."""
     from .ops import flow_kernels as fk
@@ -313,6 +325,9 @@ def _gap_commit_core(cfg: KalmanConfig, spec, age_penalty: float,
 
 _gap_points_kernel = partial(
     jax.jit, static_argnames=('spec',))(_gap_points_core)
+
+_gap_pre_kernel = partial(
+    jax.jit, static_argnames=('spec',))(_gap_pre_core)
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -777,6 +792,30 @@ _commit_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'confirm_hits', 'max_age', 'history_size'))(_commit_part)
 
 
+def _finals_commit_core(cfg: KalmanConfig, conf_thresh: float,
+                        max_reid_cost: float, dup_gate: float,
+                        confirm_hits: int, max_age: int, history_size: int,
+                        state, hist, d_tlbrs, d_labels, d_conf, d_valid,
+                        d_emb, frame_id, frame_tlbr,
+                        reid_cost, h_reid_ok, occluded, u_det, col4row):
+    """Greedy reID/rectify + lifecycle commit in one dispatch (one
+    enqueue saved; the greedy matchers stay fast in this commit-sized
+    unit — verified on the op trace, unlike the six-auction merge)."""
+    u_det_conf, reid_c4r, rect_c4r = _finals_core(
+        conf_thresh, max_reid_cost, dup_gate, confirm_hits,
+        state[2], state[3], state[4], state[5], d_tlbrs, d_conf,
+        reid_cost, h_reid_ok, occluded, u_det, col4row)
+    return _commit_part(
+        cfg, confirm_hits, max_age, history_size, state, hist,
+        d_tlbrs, d_labels, d_conf, d_valid, d_emb, frame_id, frame_tlbr,
+        (occluded, col4row, u_det_conf, reid_c4r, rect_c4r))
+
+
+_finals_commit_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'conf_thresh', 'max_reid_cost', 'dup_gate', 'confirm_hits',
+    'max_age', 'history_size'))(_finals_commit_core)
+
+
 class MultiTracker:
     """Tracks multiple objects, associating detections by motion and
     appearance. Public surface matches the reference (tracker.py:18-135)."""
@@ -908,9 +947,9 @@ class MultiTracker:
         # RANSAC/KF/commit — see the _gap_points_core comment block
         spec = self.flow.spec
         prev_state = self.flow.device_state
-        cur_state = fk._preprocess_jit(spec, jnp.asarray(frame))
-        all_prev, all_valid, inside, forder, f_tlbrs, f_valid = \
-            _gap_points_kernel(spec, self._dev_state, prev_state)
+        (cur_state, all_prev, all_valid, inside, forder, f_tlbrs,
+         f_valid) = _gap_pre_kernel(spec, jnp.asarray(frame),
+                                    self._dev_state, prev_state)
         all_cur, status = _lk_kernel(
             spec, prev_state[0], prev_state[1], cur_state[0], cur_state[1],
             all_prev, all_valid)
@@ -983,18 +1022,13 @@ class MultiTracker:
             True, iou_cost, base_iou_active, u_det, col4row)
         u_det, col4row = _stage_kernel(
             False, iou_cost, base_unconf, u_det, col4row)
-        u_det_conf, reid_c4r, rect_c4r = _finals_kernel(
-            self.conf_thresh, self.max_reid_cost,
-            1.0 - self.duplicate_thresh, self.confirm_hits,
-            st[2], st[3], st[4], st[5], d_tlbrs_dev, d_conf_dev,
-            reid_cost, h_reid_ok, occluded, u_det, col4row)
-        cascade_out = (occluded, col4row, u_det_conf, reid_c4r, rect_c4r)
-        new_state, new_hist, info = _commit_kernel(
-            self.kf_cfg, self.confirm_hits, self.max_age,
-            self.history_size,
-            self._dev_state, self._hist_store,
+        new_state, new_hist, info = _finals_commit_kernel(
+            self.kf_cfg, self.conf_thresh, self.max_reid_cost,
+            1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
+            self.history_size, self._dev_state, self._hist_store,
             d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            jnp.int32(frame_id), self._frame_rect_dev, cascade_out)
+            jnp.int32(frame_id), self._frame_rect_dev,
+            reid_cost, h_reid_ok, occluded, u_det, col4row)
         self._dev_state = new_state
         self._hist_store = new_hist
         self._pending.append(('assoc', {'frame_id': frame_id,
