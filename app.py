@@ -2,7 +2,7 @@
 """CLI entry point.
 
 Behavioral reference: /root/reference/app.py — same flags (--input-uri,
---config, --labels, --mot, --txt, --gui, --output-uri, -q/-v), same JSON
+--config, --labels, --mot, --txt, -s/--show, --output-uri, -q/-v), same JSON
 config decoding (arrays -> tuples, SimpleNamespace attribute access), the
 same main loop, and byte-identical MOT-Challenge txt output formatting
 (app.py:92-97)."""
@@ -42,8 +42,8 @@ def main():
                         help='path to output MOT Challenge format results')
     parser.add_argument('-m', '--mot', action='store_true',
                         help='run multiple object tracker')
-    parser.add_argument('-g', '--gui', action='store_true',
-                        help='enable display')
+    parser.add_argument('-s', '--show', action='store_true',
+                        help='show visualizations')
     group.add_argument('-q', '--quiet', action='store_true',
                        help='reduce output verbosity')
     group.add_argument('-v', '--verbose', action='store_true',
@@ -79,13 +79,13 @@ def main():
     mot = None
     txt = None
     if args.mot:
-        draw = args.gui or args.output_uri is not None
+        draw = args.show or args.output_uri is not None
         mot = fastmot.MOT(config.resize_to, **vars(config.mot_cfg), draw=draw)
         mot.reset(stream.cap_dt)
     if args.txt is not None:
         Path(args.txt).parent.mkdir(parents=True, exist_ok=True)
         txt = open(args.txt, 'w')
-    if args.gui:
+    if args.show:
         import cv2
         cv2.namedWindow('Video', cv2.WINDOW_AUTOSIZE)
 
@@ -114,7 +114,7 @@ def main():
                 frame = stream.read()
                 if frame is None:
                     break
-                if args.gui:
+                if args.show:
                     import cv2
                     if cv2.getWindowProperty('Video', 0) < 0:
                         break
@@ -125,7 +125,7 @@ def main():
                             mot.frame_count % TXT_FLUSH_FRAMES == 0:
                         flush_txt()
 
-                if args.gui:
+                if args.show:
                     import cv2
                     cv2.imshow('Video', frame)
                     if cv2.waitKey(1) & 0xFF == 27:
@@ -137,7 +137,7 @@ def main():
             if args.mot:
                 flush_txt()
             txt.close()
-        if args.gui:
+        if args.show:
             import cv2
             cv2.destroyAllWindows()
         stream.release()

@@ -36,16 +36,22 @@ class DepthwiseConv3x3(nn.Module):
         c = x.shape[-1]
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (3, 3, 1, c), jnp.float32)
+        # bf16 taps: the fused 9-tap pass is HBM-bandwidth-bound, so
+        # halving the activation dtype roughly halves its cost; the
+        # per-tap products accumulate in f32 registers inside the fusion
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         h, wd = x.shape[1], x.shape[2]
         out = None
         for dy in range(3):
             for dx in range(3):
-                tap = xp[:, dy:dy + h, dx:dx + wd, :] * w[dy, dx, 0]
+                tap = (xp[:, dy:dy + h, dx:dx + wd, :]
+                       * w[dy, dx, 0]).astype(jnp.float32)
                 out = tap if out is None else out + tap
         if self.stride > 1:
             out = out[:, ::self.stride, ::self.stride, :]
-        return out
+        return out.astype(jnp.bfloat16)
 
 
 class ConvBNReLU(nn.Module):
@@ -60,7 +66,9 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.features, self.kernel, self.strides, padding='SAME',
                     feature_group_count=self.groups, use_bias=False,
                     dtype=jnp.bfloat16)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        # bf16 BN keeps the whole trunk's activations 2-byte end to end
+        # (inference BN is a per-channel scale+shift; params stay f32)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.bfloat16)(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -75,7 +83,7 @@ class LiteConv(nn.Module):
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=jnp.bfloat16)(x)
         x = DepthwiseConv3x3()(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.bfloat16)(x)
         return nn.relu(x)
 
 

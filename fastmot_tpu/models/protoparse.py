@@ -31,7 +31,10 @@ _WT_I32 = 5
 def _read_varint(buf, pos):
     result = 0
     shift = 0
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError('truncated varint')
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -155,8 +158,14 @@ def _onnx_tensor(buf):
     elif typed[7]:
         arr = np.array(typed[7], np.int64).astype(np_dtype, copy=False)
     elif typed[5]:
-        # int32_data carries int32/int16/int8/uint8/bool/float16 payloads
-        arr = np.array(typed[5], np.int64).astype(np_dtype, copy=False)
+        # int32_data carries int32/int16/int8/uint8/bool/float16 payloads;
+        # per the ONNX spec float16 entries are raw uint16 BIT PATTERNS,
+        # so they must be bit-cast, not value-cast.
+        if np_dtype == np.float16:
+            arr = np.array(typed[5], np.int64).astype(np.uint16)
+            arr = arr.view(np.float16)
+        else:
+            arr = np.array(typed[5], np.int64).astype(np_dtype, copy=False)
     else:
         arr = np.zeros(0, np_dtype)
     return name, arr.reshape(dims) if dims else arr
@@ -200,9 +209,17 @@ def _tf_shape(buf):
 
 
 def _tf_tensor(buf):
-    """Decode a tensorflow TensorProto -> ndarray."""
+    """Decode a tensorflow TensorProto -> ndarray.
+
+    Field numbers follow tensorflow's tensor.proto: dtype=1, shape=2,
+    tensor_content=4, float_val=5, double_val=6, int_val=7, string_val=8,
+    scomplex_val=9, int64_val=10, bool_val=11, half_val=13. Scalar and
+    small constants are stored in the typed *_val fields (tensor_content
+    is only used for larger arrays), so getting these numbers right is
+    what makes the reference's released ssd_*_coco.pb files readable.
+    """
     dtype, dims, content = 1, [], None
-    floats, doubles, ints = [], [], []
+    floats, doubles, ints, halves = [], [], [], []
     for f, wt, v in iter_fields(buf):
         if f == 1 and wt == _WT_VARINT:         # dtype
             dtype = v
@@ -210,22 +227,23 @@ def _tf_tensor(buf):
             dims = _tf_shape(v)
         elif f == 4 and wt == _WT_LEN:          # tensor_content
             content = v
-        elif f == 6:                            # float_val
+        elif f == 5:                            # float_val (packed or I32)
             if wt == _WT_LEN:
                 floats.append(np.frombuffer(v, np.float32))
             else:
                 floats.append(np.frombuffer(
                     v.to_bytes(4, 'little'), np.float32))
-        elif f == 7:                            # double_val
+        elif f == 6:                            # double_val (packed or I64)
             if wt == _WT_LEN:
                 doubles.append(np.frombuffer(v, np.float64))
             else:
                 doubles.append(np.frombuffer(
                     v.to_bytes(8, 'little'), np.float64))
-        elif f in (5, 8, 9, 10):                # half/int/string?/bool vals
-            if f == 9 and wt == _WT_LEN:
-                continue                        # string_val unsupported here
+        elif f in (7, 10, 11):                  # int_val/int64_val/bool_val
             ints.extend(_repeated_varints([v], [wt]))
+        elif f == 13:                           # half_val (uint16 bits)
+            halves.extend(_repeated_varints([v], [wt]))
+        # f == 8 string_val / f == 9 scomplex_val: unsupported, skipped
     np_dtype = _TF_DTYPES.get(dtype)
     if np_dtype is None:
         raise ValueError(f'unsupported tf dtype {dtype}')
@@ -236,6 +254,10 @@ def _tf_tensor(buf):
         arr = np.concatenate(floats).astype(np_dtype, copy=False)
     elif doubles:
         arr = np.concatenate(doubles).astype(np_dtype, copy=False)
+    elif halves:
+        # half_val carries raw float16 bit patterns in an int field
+        arr = np.array(halves, np.uint16).view(np.float16)
+        arr = arr.astype(np_dtype, copy=False)
     elif ints:
         arr = np.array(ints, np.int64).astype(np_dtype, copy=False)
     else:

@@ -177,46 +177,58 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             + c * fy * (1 - fx) + d * fy * fx)
 
 
+TAB_DTYPE = jnp.float16   # window-table storage: image values are 8-bit
+                          # at heart, so f16's 10-bit mantissa (max error
+                          # ~0.25 at 255, comparable to cv2's Q14 fixed
+                          # point) halves table build + gather traffic
+
+
 def _window_table(img: jax.Array, win: int) -> jax.Array:
-    """[H*W, (win+1)^2] table of the (win+1) x (win+1) window anchored at
-    every pixel's top-left: row (y, x) holds img[y-half : y-half+win+1,
-    x-half : x-half+win+1] (edge-padded). One row then contains all four
-    corner ``win x win`` patches a bilinear sample needs, so LK's hot
-    loop does ONE row gather per point per iteration instead of four —
-    both less gather volume and 4x fewer random row accesses."""
+    """[H*W, (win+3)^2] float16 table of the (win+3) x (win+3) window
+    around every pixel: row (y, x) holds img[y-half-1 : y+half+3,
+    x-half-1 : x+half+3] (edge-padded). One row contains the four corner
+    (win+2)^2 patches a bilinear sample of a (win+2)-wide window needs,
+    which is the ``win x win`` value patch PLUS a 1-px halo for central-
+    difference gradients. LK's hot loop therefore does ONE row gather
+    per point per iteration, and the template's value AND gradient
+    patches come from the same row — no separate gradient images or
+    gradient tables exist at all (they were 2/3 of the r2 preprocess
+    cost, docs/PERFORMANCE.md)."""
     h, w = img.shape
     half = (win - 1) // 2
-    wide = win + 1
-    pad = jnp.pad(img, ((half, half + 1), (half, half + 1)), mode='edge')
+    wide = win + 3
+    pad = jnp.pad(img, ((half + 1, half + 2), (half + 1, half + 2)),
+                  mode='edge')
     taps = [pad[dy:dy + h, dx:dx + w]
             for dy in range(wide) for dx in range(wide)]
-    return jnp.stack(taps, axis=-1).reshape(h * w, wide * wide)
+    return jnp.stack(taps, axis=-1).reshape(
+        h * w, wide * wide).astype(TAB_DTYPE)
 
 
-def _sample_patches(tab: jax.Array, w: int, h: int, win: int,
-                    x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinearly interpolated patch rows at subpixel points from a
-    _window_table: ONE row gather per point, then the four corner
-    patches come from static slices of the row. ``tab`` may hold several
-    concatenated (win+1)^2 tables along the row (value | d/dx | d/dy)."""
-    wide = win + 1
+def _sample_patch_halo(tab: jax.Array, w: int, h: int, win: int,
+                       x: jax.Array, y: jax.Array) -> jax.Array:
+    """[P, win+2, win+2] bilinearly interpolated window (value patch +
+    1-px gradient halo) at subpixel points, from ONE row gather per
+    point on a _window_table. out[i, j] = sample(y - half - 1 + i,
+    x - half - 1 + j); the ``win x win`` value patch is the center
+    slice [1:win+1, 1:win+1]."""
+    wide = win + 3
+    inner = win + 2
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[:, None, None, None]
-    fy = (y - y0)[:, None, None, None]
-    rows = jnp.take(tab, y0 * w + x0, axis=0)                # [P, C*6*6]
+    fx = (x - x0)[:, None, None]
+    fy = (y - y0)[:, None, None]
+    rows = jnp.take(tab, y0 * w + x0, axis=0)                # [P, 8*8]
     p = rows.shape[0]
-    c = tab.shape[1] // (wide * wide)
-    r = rows.reshape(p, c, wide, wide)
-    p00 = r[:, :, :win, :win]
-    p01 = r[:, :, :win, 1:]
-    p10 = r[:, :, 1:, :win]
-    p11 = r[:, :, 1:, 1:]
-    out = ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
-           + fy * (1 - fx) * p10 + fy * fx * p11)
-    return out.reshape(p, c * win * win)
+    r = rows.reshape(p, wide, wide).astype(jnp.float32)
+    p00 = r[:, :inner, :inner]
+    p01 = r[:, :inner, 1:]
+    p10 = r[:, 1:, :inner]
+    p11 = r[:, 1:, 1:]
+    return ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
+            + fy * (1 - fx) * p10 + fy * fx * p11)
 
 
 def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
@@ -230,7 +242,11 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
     (new_pts, status, err) with err = mean |patch difference| as in OpenCV.
 
     Window sampling goes through per-level window tables (_window_table) so
-    every memory access is a contiguous-row gather.
+    every memory access is a contiguous-row gather; the template's
+    gradients are central differences of the sampled halo patch (bilinear
+    interpolation and the difference operator commute, so this equals
+    sampling a precomputed d/dx image everywhere except the 1-px image
+    border).
     """
     n_levels = len(prev_pyr)
     g = jnp.zeros_like(pts)          # flow guess from coarser levels
@@ -242,15 +258,19 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         scale = 1.0 / (2 ** level)
         p = pts * scale              # template positions at this level
 
-        val_tab, grad_tab = prev_tabs[level]  # [H*W, 36], [H*W, 72]
-        c_tab = cur_tabs[level][0]            # current-frame value table
+        val_tab = prev_tabs[level]   # [H*W, (win+3)^2] combined table
+        c_tab = cur_tabs[level]
 
         px, py = p[:, 0], p[:, 1]
+        n_pts = pts.shape[0]
         ww = spec.win * spec.win
-        t_patch = _sample_patches(val_tab, w, h, spec.win, px, py)
-        tpl_g = _sample_patches(grad_tab, w, h, spec.win, px, py)
-        gx = tpl_g[:, :ww]
-        gy = tpl_g[:, ww:]
+        wi = spec.win
+        t_halo = _sample_patch_halo(val_tab, w, h, wi, px, py)
+        t_patch = t_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
+        gx = (0.5 * (t_halo[:, 1:wi + 1, 2:wi + 2]
+                     - t_halo[:, 1:wi + 1, 0:wi])).reshape(n_pts, ww)
+        gy = (0.5 * (t_halo[:, 2:wi + 2, 1:wi + 1]
+                     - t_halo[:, 0:wi, 1:wi + 1])).reshape(n_pts, ww)
         gxx = jnp.sum(gx * gx, axis=1)
         gyy = jnp.sum(gy * gy, axis=1)
         gxy = jnp.sum(gx * gy, axis=1)
@@ -279,8 +299,9 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
 
         def body(state):
             v, active, it, err = state
-            c_patch = _sample_patches(c_tab, w, h, spec.win,
-                                      px + v[:, 0], py + v[:, 1])
+            c_halo = _sample_patch_halo(c_tab, w, h, wi,
+                                        px + v[:, 0], py + v[:, 1])
+            c_patch = c_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
             diff = t_patch - c_patch
             err = jnp.where(active,
                             jnp.mean(jnp.abs(diff), axis=1), err)
@@ -539,11 +560,11 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     """BGR uint8 frame -> per-frame flow state.
 
     Everything derivable from a single frame is computed here exactly
-    once — the pyramid, the per-level patch tables (value | d/dx | d/dy,
-    used as the LK template when this frame is "previous" and as the
-    search image via the value columns when it is "current"), the
-    full-res corner candidates, and the background candidates — so the
-    per-frame flow step never recomputes previous-frame quantities.
+    once — the pyramid, the per-level combined window tables (value +
+    gradient halo; the LK template AND search samples both come from the
+    same table), the full-res corner candidates, and the background
+    candidates — so the per-frame flow step never recomputes
+    previous-frame quantities.
     """
     f = frame_bgr.astype(jnp.float32)
     # OpenCV BGR2GRAY weights
@@ -554,14 +575,9 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     for _ in range(spec.max_level):
         pyr.append(_downsample2(pyr[-1]))
 
-    tabs = []
-    for img in pyr:
-        gx_img = jnp.gradient(img, axis=1)
-        gy_img = jnp.gradient(img, axis=0)
-        tabs.append((_window_table(img, spec.win),
-                     jnp.concatenate([_window_table(gx_img, spec.win),
-                                      _window_table(gy_img, spec.win)],
-                                     axis=1)))
+    # ONE combined f16 window table per level (value + gradient halo):
+    # no gradient images / gradient tables — see _window_table
+    tabs = [_window_table(img, spec.win) for img in pyr]
 
     resp = _shi_tomasi_response(gray)
     cand_pts, cand_score = _grid_candidates(resp, CELL)
