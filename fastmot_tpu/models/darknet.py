@@ -72,6 +72,107 @@ _DN_ACTS = {
 }
 
 
+def _space_to_depth(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel packing (qy, qx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _fold_stem_s1(w):
+    """Re-express a 3x3 stride-1 conv kernel [3, 3, cin, co] as the exact
+    equivalent [3, 3, 4*cin, 4*co] kernel over space-to-depth input,
+    producing PHASE-PACKED output (channel (py, px, o) = output pixel
+    (2Y+py, 2X+px) channel o). Derivation: for output phase p and tap d,
+    the source pixel offset s = p + d - 1 decomposes into cell offset
+    floor(s/2) in {-1, 0, 1} and pixel phase s mod 2."""
+    cin, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * cin, 4 * co), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    sy, sx = py + dy - 1, px + dx - 1
+                    ky, kx = sy // 2 + 1, sx // 2 + 1
+                    qy, qx = sy % 2, sx % 2
+                    ci = (qy * 2 + qx) * cin
+                    oo = (py * 2 + px) * co
+                    out = out.at[ky, kx, ci:ci + cin, oo:oo + co].set(
+                        w[dy, dx])
+    return out
+
+
+def _fold_stem_s2(w):
+    """Re-express a 3x3 stride-2 conv kernel [3, 3, cin, co] as the exact
+    equivalent 2x2 STRIDE-1 kernel [2, 2, 4*cin, co] over phase-packed
+    input (same packing as _fold_stem_s1 output / _space_to_depth).
+    Output positions are the stride-2 grid = the packed cell grid.
+    XLA 'SAME' for stride 2 puts the whole pad at the END (out Y taps
+    pixels {2Y, 2Y+1, 2Y+2}), so taps reach cells {0, +1} and the conv
+    pads (0, 1) on bottom/right only."""
+    cin, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 4 * cin, co), w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            ky, kx = dy // 2, dx // 2
+            qy, qx = dy % 2, dx % 2
+            ci = (qy * 2 + qx) * cin
+            out = out.at[ky, kx, ci:ci + cin, :co].set(w[dy, dx])
+    return out
+
+
+class _StemConv(nn.Module):
+    """Stem conv executed in space-to-depth form. Declares its kernel
+    with nn.Conv's exact parameter shape/name so .weights loading and
+    float counting are unchanged; the fold is applied in-graph (the
+    kernel is tiny)."""
+    features: int
+    cin: int
+    variant: str                    # 's1' (stride-1 fold) | 's2'
+    precision: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_packed):
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (3, 3, self.cin, self.features), jnp.float32)
+        if self.variant == 's1':
+            wf = _fold_stem_s1(w)
+            pad = 'SAME'
+        else:
+            wf = _fold_stem_s2(w)
+            pad = ((0, 1), (0, 1))
+        return jax.lax.conv_general_dilated(
+            x_packed.astype(self.dtype), wf.astype(self.dtype),
+            window_strides=(1, 1), padding=pad,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=self.precision,
+            preferred_element_type=jnp.float32)
+
+
+class _PackedBN(nn.Module):
+    """Inference BatchNorm over phase-packed channels: parameters keep
+    the UNPACKED channel count (so checkpoints load unchanged) and are
+    tiled across the 4 phases at apply time."""
+    features: int
+    tile: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        mean = self.variable('batch_stats', 'mean', nn.initializers.zeros,
+                             None, (self.features,), jnp.float32)
+        var = self.variable('batch_stats', 'var', nn.initializers.ones,
+                            None, (self.features,), jnp.float32)
+        mul = jnp.tile(scale * jax.lax.rsqrt(var.value + 1e-5), self.tile)
+        add = jnp.tile(bias - mean.value * scale
+                       * jax.lax.rsqrt(var.value + 1e-5), self.tile)
+        return x * mul + add
+
+
 class DarknetModule(nn.Module):
     """Executes a parsed Darknet cfg. Returns the list of raw yolo-head
     feature maps (NHWC), in cfg order.
@@ -80,17 +181,86 @@ class DarknetModule(nn.Module):
     oracle/parity checks; None = platform default, bf16 passes on TPU).
     ``dtype`` sets the conv compute dtype (bfloat16 for MXU throughput;
     BatchNorm and the yolo head outputs stay float32).
+
+    ``s2d_stem`` enables the exact space-to-depth re-expression of the
+    leading 3x3 convs (see _fold_stem_s1/_fold_stem_s2): the first conv
+    of every Darknet YOLO runs on a 3-channel full-resolution image,
+    which fills at most 3 of the MXU's 128 contraction lanes — measured
+    ~0.9 ms of a 2.1 ms YOLOv4-512 graph (conv1 at 1.7 TFLOP/s, plus
+    layout copies). Folding to the half-resolution phase-packed form
+    raises the contraction width to 12->128 with identical arithmetic.
     """
     sections: tuple   # tuple of (frozen) section dicts; net section first
     precision: str | None = None
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = True
+
+    def _stem_plan(self, layers, x):
+        """Number of leading layers the s2d stem path replaces (0 = no
+        fold). Guarded: plain 3x3 group-1 convs, even input size, and no
+        route/shortcut referencing a layer whose stored output would be
+        phase-packed."""
+        if not self.s2d_stem or x.shape[1] % 2 or x.shape[2] % 2:
+            return 0
+        refd = set()
+        for i, sec in enumerate(layers):
+            if sec['type'] == 'route':
+                refd.update(i + l if l < 0 else l
+                            for l in _aslist(sec['layers']))
+            elif sec['type'] == 'shortcut':
+                frm = int(sec['from'])
+                refd.add(i + frm if frm < 0 else frm)
+
+        def plain_conv(sec, stride):
+            return (sec['type'] == 'convolutional'
+                    and int(sec.get('size', 1)) == 3
+                    and int(sec.get('stride', 1)) == stride
+                    and int(sec.get('groups', 1)) == 1
+                    and int(sec.get('pad', 0)) == 1
+                    and int(sec.get('batch_normalize', 0)) == 1)
+
+        if layers and plain_conv(layers[0], 2):
+            return 1                      # tiny-style stem: one s2 conv
+        if (len(layers) > 1 and plain_conv(layers[0], 1)
+                and plain_conv(layers[1], 2) and 0 not in refd):
+            return 2                      # v3/v4-style stem: s1 then s2
+        return 0
+
+    def _stem_layer(self, i, sec, x_packed, cin, variant):
+        """One folded stem conv + (tiled) BN + activation, with the same
+        parameter tree as the normal path."""
+        filters = int(sec['filters'])
+        bn = int(sec.get('batch_normalize', 0))
+        act = sec.get('activation', 'linear')
+        y = _StemConv(filters, cin, variant, name=f'conv{i}',
+                      precision=self.precision, dtype=self.dtype)(x_packed)
+        tile = 4 if variant == 's1' else 1
+        if bn:
+            y = _PackedBN(filters, tile, name=f'bn{i}')(y)
+        return _DN_ACTS[act](y)
 
     @nn.compact
     def __call__(self, x):
         outputs = []        # per-layer outputs (index aligned with layers)
         heads = []
         layers = [s for s in self.sections if s['type'] != 'net']
+        stem_n = self._stem_plan(layers, x)
+        if stem_n:
+            cin = x.shape[-1]
+            packed = _space_to_depth(x)
+            if stem_n == 1:
+                x = self._stem_layer(0, layers[0], packed, cin, 's2')
+                outputs.append(x)
+            else:
+                mid = self._stem_layer(0, layers[0], packed, cin, 's1')
+                outputs.append(mid)   # phase-packed; guarded unreferenced
+                x = self._stem_layer(1, layers[1],
+                                     mid.astype(jnp.float32),
+                                     int(layers[0]['filters']), 's2')
+                outputs.append(x)
         for i, sec in enumerate(layers):
+            if i < stem_n:
+                continue
             t = sec['type']
             if t == 'convolutional':
                 filters = int(sec['filters'])

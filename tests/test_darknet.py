@@ -187,3 +187,68 @@ classes=-1
     want = x @ k + b
     np.testing.assert_allclose(np.asarray(heads[0]), want, rtol=1e-5,
                                atol=1e-5)
+
+
+V4STEM_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58, 81,82, 135,169, 344,319
+classes=1
+"""
+
+
+@pytest.mark.parametrize('cfg_text', [V4STEM_CFG, TINY_CFG],
+                         ids=['s1s2_stem', 's2_stem'])
+def test_s2d_stem_matches_plain_path(cfg_text, rng):
+    """The space-to-depth stem fold is an exact re-expression: identical
+    params (same tree, so .weights loading is unaffected), identical
+    outputs vs the plain conv path at float32 precision."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models.darknet import DarknetModule, _hashable, \
+        parse_cfg
+
+    secs = tuple(_hashable(s) for s in parse_cfg(cfg_text))
+    folded = DarknetModule(sections=secs, precision='highest')
+    plain = DarknetModule(sections=secs, precision='highest',
+                          s2d_stem=False)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(3), x)
+    # same parameter tree: the folded module must accept the plain one's
+    chex = jax.tree_util.tree_structure(params)
+    assert jax.tree_util.tree_structure(folded.init(
+        jax.random.PRNGKey(3), x)) == chex
+    out_plain = plain.apply(params, x)
+    out_folded = folded.apply(params, x)
+    assert len(out_plain) == len(out_folded)
+    for a, b in zip(out_plain, out_folded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
