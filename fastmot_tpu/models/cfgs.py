@@ -312,3 +312,120 @@ def yolov3_tiny_cfg(num_classes, height, width, anchors):
     c.conv(no, 1, act='linear', bn=0)
     c.yolo([0, 1, 2], anchors, num_classes)
     return c.text()
+
+
+# ---------------------------------------------------------------------------
+# Scaled-YOLOv4 family (yolov4-csp / x-mish / csp-swish / csp-x-swish /
+# p5 / p6). Layer sequences follow the AlexeyAB darknet ports of
+# Scaled-YOLOv4 (CVPR 2021): fully CSP-ized backbone AND neck, single
+# activation throughout, logistic head convs with new_coords=1 and
+# scale_x_y=2.0 (reference registrations yolo.py:171-299). Reconstruction
+# notes: stage residuals / CSP splits / SPP placement mirror yolov4.cfg's
+# conventions with the csp-set neck; if a layout detail diverges from a
+# particular upstream cfg revision, `darknet.yolo_from_cfg` runs the
+# verbatim upstream cfg + weights with no code changes (the interpreter
+# is cfg-generic), so pretrained use is never blocked on these
+# generators.
+# ---------------------------------------------------------------------------
+
+def _csp_stage_scaled(c, filters, blocks, act, plain=False):
+    """Scaled-family backbone stage: strided conv + (plain residual |
+    cross-stage-partial residual group at half width)."""
+    c.conv(filters, 3, 2, act=act)
+    if plain:
+        c.conv(filters // 2, 1, act=act)
+        c.conv(filters, 3, act=act)
+        return c.shortcut(-3)
+    c.conv(filters // 2, 1, act=act)       # split-left
+    c.route([-2])
+    c.conv(filters // 2, 1, act=act)       # split-right
+    for _ in range(blocks):
+        c.conv(filters // 2, 1, act=act)
+        c.conv(filters // 2, 3, act=act)
+        c.shortcut(-3)
+    c.conv(filters // 2, 1, act=act)       # transition
+    c.route([-1, -(3 * blocks + 4)])
+    return c.conv(filters, 1, act=act)
+
+
+def _csp_spp(c, f, act):
+    """CSP-ized SPP block on the top pyramid level."""
+    c.conv(f, 1, act=act)                  # split-left (the -13 target)
+    c.route([-2])
+    c.conv(f, 1, act=act)
+    c.conv(f, 3, act=act)
+    c.conv(f, 1, act=act)
+    c.maxpool(5, 1)
+    c.route([-2])
+    c.maxpool(9, 1)
+    c.route([-4])
+    c.maxpool(13, 1)
+    c.route([-1, -3, -5, -6])
+    c.conv(f, 1, act=act)
+    c.conv(f, 3, act=act)
+    c.route([-1, -13])
+    return c.conv(f, 1, act=act)
+
+
+def _csp_convset(c, f, act, pairs=2):
+    """CSP-ized neck conv set (role of BottleneckCSP2 in the
+    Scaled-YOLOv4 yamls): ``pairs`` 1x1+3x3 repetitions inside the
+    split — 2 for yolov4-csp, 3 for the depth-scaled x / P5 / P6
+    models (the paper's 52.9M / 70.8M / 127.6M parameter counts
+    reproduce only with this depth split)."""
+    c.conv(f, 1, act=act)                  # split-left
+    c.route([-2])
+    c.conv(f, 1, act=act)
+    for _ in range(pairs - 1):
+        c.conv(f, 3, act=act)
+        c.conv(f, 1, act=act)
+    c.conv(f, 3, act=act)
+    c.route([-1, -(2 * pairs + 2)])
+    return c.conv(f, 1, act=act)
+
+
+def scaled_yolov4_cfg(num_classes, height, width, anchors, n_heads,
+                      widths, depths, act='mish', stem=32,
+                      first_plain=True, scale_x_y=2.0, neck_pairs=2):
+    """Scaled-YOLOv4 cfg: ``widths``/``depths`` give the backbone stages
+    (strides 2..2^len); the last ``n_heads`` stages feed the CSP-PAN.
+    ``anchors`` is the flat per-head concatenation (duplicates allowed,
+    exactly like upstream yolov4-p6.cfg's 16-pair table); masks are
+    consecutive ranges."""
+    pairs_total = len(anchors) // 2
+    assert pairs_total % n_heads == 0, (pairs_total, n_heads)
+    pairs = pairs_total // n_heads
+    no = pairs * (5 + num_classes)
+    c = _Cfg(width, height)
+    c.conv(stem, 3, act=act)
+    stage_outs = []
+    for i, (f, d) in enumerate(zip(widths, depths)):
+        stage_outs.append(
+            _csp_stage_scaled(c, f, d, act, plain=(i == 0 and first_plain)))
+
+    pyr = stage_outs[-n_heads:]
+    neck_w = [widths[len(widths) - n_heads + k] // 2 for k in range(n_heads)]
+
+    n_top = _csp_spp(c, neck_w[-1], act)
+    necks = [n_top]                        # coarse -> fine
+    for lvl in range(n_heads - 2, -1, -1):
+        f = neck_w[lvl]
+        c.conv(f, 1, act=act)
+        c.upsample()
+        c.route([pyr[lvl]])
+        c.conv(f, 1, act=act)
+        c.route([-1, -3])
+        necks.append(_csp_convset(c, f, act, neck_pairs))
+    necks = necks[::-1]                    # fine -> coarse
+
+    for k in range(n_heads):
+        if k > 0:                          # bottom-up join
+            c.route([-4])
+            c.conv(neck_w[k], 3, 2, act=act)
+            c.route([-1, necks[k]])
+            _csp_convset(c, neck_w[k], act, neck_pairs)
+        c.conv(neck_w[k] * 2, 3, act=act)
+        c.conv(no, 1, act='logistic', bn=0)
+        c.yolo(list(range(k * pairs, (k + 1) * pairs)), anchors,
+               num_classes, scale_x_y, new_coords=1)
+    return c.text()

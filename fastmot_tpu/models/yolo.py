@@ -16,17 +16,15 @@ Decode math (yolo_layer.cu:127-173 standard, :185-230 new_coords):
              bw = (tw)^2 * 4 * anchor_w / input_w
              obj = to;  cls = max prob
 
-Architectures are idiomatic NHWC/bfloat16 Flax: CSPDarknet53+SPP+PANet for
-YOLOv4, the CSP-ified Scaled-YOLOv4 family (csp / x-mish / csp-swish /
-csp-x-swish / p5 / p6), Darknet53 for YOLOv3 (+SPP), and the tiny variants
-— the same 10-model zoo the reference registers (yolo.py:154-299).
+All 10 registered models are darknet-cfg-backed (models/cfgs.py generates
+the upstream layer sequences; models/darknet.py interprets them in
+bf16/NHWC Flax), so every model — YOLOv4, the Scaled family (csp / x-mish
+/ csp-swish / csp-x-swish / p5 / p6), YOLOv3 (+SPP) and the tinies —
+loads released `.weights` through the strict traversal-order loader.
 Weights are random unless a converted .npz exists (see registry.py).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -39,157 +37,6 @@ def _darknet_build(cfg_text: str):
     sections = parse_cfg(cfg_text)
     return DarknetModule(sections=tuple(_hashable(s) for s in sections),
                          dtype=jnp.bfloat16)
-
-
-def mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
-
-
-_ACTS = {
-    'mish': mish,
-    'leaky': lambda x: jax.nn.leaky_relu(x, 0.1),
-    'swish': jax.nn.silu,
-    'linear': lambda x: x,
-    'logistic': jax.nn.sigmoid,
-}
-
-
-class ConvBN(nn.Module):
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    act: str = 'mish'
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    (self.stride, self.stride), padding='SAME',
-                    use_bias=False, dtype=jnp.bfloat16)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        return _ACTS[self.act](x)
-
-
-class ResBlock(nn.Module):
-    features: int
-    hidden: int
-    act: str = 'mish'
-
-    @nn.compact
-    def __call__(self, x):
-        y = ConvBN(self.hidden, 1, act=self.act)(x)
-        y = ConvBN(self.features, 3, act=self.act)(y)
-        return x + y
-
-
-class CSPStage(nn.Module):
-    """CSPDarknet stage: strided downsample then a cross-stage-partial
-    residual group."""
-    features: int
-    blocks: int
-    act: str = 'mish'
-    first: bool = False  # stage 1 keeps full width in both branches
-
-    @nn.compact
-    def __call__(self, x):
-        x = ConvBN(self.features, 3, 2, act=self.act)(x)
-        split = self.features if self.first else self.features // 2
-        left = ConvBN(split, 1, act=self.act)(x)
-        right = ConvBN(split, 1, act=self.act)(x)
-        hidden = self.features // 2
-        for _ in range(self.blocks):
-            right = ResBlock(split, hidden, act=self.act)(right)
-        right = ConvBN(split, 1, act=self.act)(right)
-        x = jnp.concatenate([right, left], axis=-1)
-        return ConvBN(self.features, 1, act=self.act)(x)
-
-
-class SPP(nn.Module):
-    """Spatial pyramid pooling (5/9/13 max-pool concat)."""
-    act: str = 'leaky'
-
-    @nn.compact
-    def __call__(self, x):
-        pools = [x]
-        for k in (5, 9, 13):
-            pools.append(nn.max_pool(x, (k, k), (1, 1), padding='SAME'))
-        return jnp.concatenate(pools[::-1], axis=-1)
-
-
-def _upsample2(x):
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * 2, w * 2, c), method='nearest')
-
-
-class ConvSet(nn.Module):
-    """5-conv neck block (1-3-1-3-1)."""
-    features: int
-    act: str = 'leaky'
-
-    @nn.compact
-    def __call__(self, x):
-        x = ConvBN(self.features, 1, act=self.act)(x)
-        x = ConvBN(self.features * 2, 3, act=self.act)(x)
-        x = ConvBN(self.features, 1, act=self.act)(x)
-        x = ConvBN(self.features * 2, 3, act=self.act)(x)
-        return ConvBN(self.features, 1, act=self.act)(x)
-
-
-class ScaledYOLOv4Net(nn.Module):
-    """Scaled-YOLOv4 (CSP / P5 / P6 family): fully CSP-ified backbone and
-    PAN neck, single activation throughout, optional 4th head."""
-    num_classes: int
-    anchors_per_head: int
-    act: str = 'mish'
-    width: int = 32
-    depths: Sequence[int] = (1, 3, 15, 15, 7)
-    num_heads: int = 3
-
-    @nn.compact
-    def __call__(self, x):
-        w = self.width
-        d = self.depths
-        acts = self.act
-        x = ConvBN(w, 3, act=acts)(x)
-        feats = []
-        widths = [w * 2, w * 4, w * 8, w * 16, w * 32, w * 32]
-        n_stages = 4 + (1 if self.num_heads >= 4 else 0)
-        for i in range(n_stages + 1):
-            blocks = d[i] if i < len(d) else d[-1]
-            x = CSPStage(min(widths[i], w * 32), blocks, act=acts,
-                         first=(i == 0))(x)
-            feats.append(x)
-
-        # use the last num_heads levels (strides 8..)
-        pyramid = feats[-self.num_heads:]
-        top = pyramid[-1]
-        top = SPP()(ConvBN(top.shape[-1] // 2, 1, act=acts)(top))
-        top = ConvBN(pyramid[-1].shape[-1] // 2, 1, act=acts)(top)
-
-        # top-down
-        laterals = [top]
-        for lvl in range(self.num_heads - 2, -1, -1):
-            prev = laterals[-1]
-            up = _upsample2(ConvBN(prev.shape[-1] // 2, 1, act=acts)(prev))
-            lat = ConvBN(up.shape[-1], 1, act=acts)(pyramid[lvl])
-            y = ConvSet(up.shape[-1], acts)(jnp.concatenate([lat, up], axis=-1))
-            laterals.append(y)
-        laterals = laterals[::-1]   # fine-to-coarse
-
-        # bottom-up
-        outs = [laterals[0]]
-        for lvl in range(1, self.num_heads):
-            down = ConvBN(laterals[lvl].shape[-1], 3, 2, act=acts)(outs[-1])
-            y = ConvSet(laterals[lvl].shape[-1], acts)(
-                jnp.concatenate([down, laterals[lvl]], axis=-1))
-            outs.append(y)
-
-        no = self.anchors_per_head * (5 + self.num_classes)
-        heads = []
-        for y in outs:
-            h = ConvBN(y.shape[-1] * 2, 3, act=acts)(y)
-            h = nn.Conv(no, (1, 1), dtype=jnp.float32)(h)
-            heads.append(jax.nn.sigmoid(h))  # new_coords: logistic applied
-        return heads
 
 
 # ---------------------------------------------------------------------------
@@ -270,19 +117,28 @@ class YOLOv4(YOLOModel):
 
 
 class _ScaledBase(YOLOModel):
+    """Scaled-YOLOv4 family base: darknet-cfg-backed like YOLOv4.build,
+    so released `.weights` load through the strict traversal-order
+    loader (reference registrations yolo.py:171-299; generator notes in
+    models/cfgs.py)."""
     LETTERBOX = True
     NEW_COORDS = True
     ACT = 'mish'
-    WIDTH = 32
-    DEPTHS = (1, 3, 15, 15, 7)
+    STEM = 32
+    WIDTHS = (64, 128, 256, 512, 1024)
+    DEPTHS = (1, 2, 8, 8, 4)
+    FIRST_PLAIN = True
+    NECK_PAIRS = 2
 
     @classmethod
     def build(cls):
-        return ScaledYOLOv4Net(num_classes=cls.NUM_CLASSES,
-                               anchors_per_head=len(cls.ANCHORS[0]) // 2,
-                               act=cls.ACT, width=cls.WIDTH,
-                               depths=cls.DEPTHS,
-                               num_heads=len(cls.LAYER_FACTORS))
+        from .cfgs import scaled_yolov4_cfg
+        c, h, w = cls.INPUT_SHAPE
+        flat = [a for head in cls.ANCHORS for a in head]
+        return _darknet_build(scaled_yolov4_cfg(
+            cls.NUM_CLASSES, h, w, flat, len(cls.LAYER_FACTORS),
+            cls.WIDTHS, cls.DEPTHS, act=cls.ACT, stem=cls.STEM,
+            first_plain=cls.FIRST_PLAIN, neck_pairs=cls.NECK_PAIRS))
 
 
 _CSP_ANCHORS = [[12, 16, 19, 36, 40, 28],
@@ -306,8 +162,10 @@ class YOLOv4xMish(_ScaledBase):
     LAYER_FACTORS = [8, 16, 32]
     SCALES = [2.0, 2.0, 2.0]
     ANCHORS = _CSP_ANCHORS
-    WIDTH = 40
+    STEM = 40
+    WIDTHS = (80, 160, 320, 640, 1280)
     DEPTHS = (1, 3, 11, 11, 5)
+    NECK_PAIRS = 3
 
 
 @register_yolo
@@ -328,8 +186,10 @@ class YOLOv4CSPxSwish(_ScaledBase):
     SCALES = [2.0, 2.0, 2.0]
     ANCHORS = _CSP_ANCHORS
     ACT = 'swish'
-    WIDTH = 40
+    STEM = 40
+    WIDTHS = (80, 160, 320, 640, 1280)
     DEPTHS = (1, 3, 11, 11, 5)
+    NECK_PAIRS = 3
 
 
 @register_yolo
@@ -341,6 +201,9 @@ class YOLOv4P5(_ScaledBase):
     ANCHORS = [[13, 17, 31, 25, 24, 51, 61, 45],
                [48, 102, 119, 96, 97, 189, 217, 184],
                [171, 384, 324, 451, 616, 618, 800, 800]]
+    DEPTHS = (1, 3, 15, 15, 7)
+    FIRST_PLAIN = False
+    NECK_PAIRS = 3
 
 
 @register_yolo
@@ -353,6 +216,10 @@ class YOLOv4P6(_ScaledBase):
                [61, 45, 48, 102, 119, 96, 97, 189],
                [97, 189, 217, 184, 171, 384, 324, 451],
                [324, 451, 545, 357, 616, 618, 1024, 1024]]
+    WIDTHS = (64, 128, 256, 512, 1024, 1024)
+    DEPTHS = (1, 3, 15, 15, 7, 7)
+    FIRST_PLAIN = False
+    NECK_PAIRS = 3
 
 
 @register_yolo
