@@ -18,6 +18,15 @@ File format: ``frame,id,x,y,w,h,conf,...`` (1-based frames, tlwh pixels),
 the same rows app.py writes (app.py:92-97). GT rows with class labels use
 the MOT17/20 convention: only consider class 1 (pedestrian) and flagged
 (col 7 == 1) entries when present.
+
+At-home cross-check against TrackEval (the reference's methodology,
+README.md:42) — results must agree on MOTA/IDF1 to rounding::
+
+    git clone https://github.com/JonathonLuiten/TrackEval
+    python TrackEval/scripts/run_mot_challenge.py \
+        --BENCHMARK MOT20 --SPLIT_TO_EVAL train \
+        --TRACKERS_TO_EVAL fastmot_tpu --METRICS CLEAR Identity \
+        --GT_FOLDER <mot20>/train --TRACKERS_FOLDER <results>
 """
 from __future__ import annotations
 
@@ -97,8 +106,12 @@ def evaluate(gt_frames, res_frames, iou_thresh: float = 0.5) -> MotMetrics:
     gt_frames_per_traj = defaultdict(int)
     matched_frames_per_traj = defaultdict(int)
 
-    # frame-level co-occurrence counts for IDF1
-    pair_matched = defaultdict(int)          # (gt_id, res_id) -> frames
+    # frame-level co-occurrence counts for IDF1 (Ristani et al. 2016 /
+    # TrackEval's potential_matches): every (gt, res) pair with
+    # IoU >= thresh in a frame counts, INDEPENDENT of which pairs the
+    # CLEAR matcher selected that frame — ID measures are defined over
+    # the global trajectory bipartite, not over CLEAR continuity
+    pair_overlap = defaultdict(int)          # (gt_id, res_id) -> frames
     gt_total = defaultdict(int)
     res_total = defaultdict(int)
 
@@ -123,6 +136,8 @@ def evaluate(gt_frames, res_frames, iou_thresh: float = 0.5) -> MotMetrics:
 
         iou = _iou_matrix_tlwh(g_boxes, r_boxes)
         valid = iou >= iou_thresh
+        for gi, rj in zip(*np.nonzero(valid)):
+            pair_overlap[(g_ids[gi], r_ids[rj])] += 1
 
         matches = {}
         # CLEAR continuity: keep last frame's correspondence when valid
@@ -153,7 +168,6 @@ def evaluate(gt_frames, res_frames, iou_thresh: float = 0.5) -> MotMetrics:
             iou_sum += iou[gi, rj]
             num_matches += 1
             matched_frames_per_traj[gid] += 1
-            pair_matched[(gid, rid)] += 1
 
         fn += len(g_ids) - len(matches)
         fp += len(r_ids) - len(matches)
@@ -164,7 +178,7 @@ def evaluate(gt_frames, res_frames, iou_thresh: float = 0.5) -> MotMetrics:
     idtp = 0
     if gt_ids and res_ids:
         overlap = np.zeros((len(gt_ids), len(res_ids)))
-        for (gid, rid), c in pair_matched.items():
+        for (gid, rid), c in pair_overlap.items():
             overlap[gt_ids.index(gid), res_ids.index(rid)] = c
         ri, ci = linear_sum_assignment(-overlap)
         idtp = int(overlap[ri, ci].sum())

@@ -148,11 +148,12 @@ class Flow:
         tracks = sorted(tracks, reverse=True)
         tracks = tracks[:fk.MAX_FLOW_TRACKS]
         n = len(tracks)
+        f_cap = fk.flow_budget(n)   # 64/128 bucket (static kernel shape)
 
-        t_tlbrs = np.zeros((fk.MAX_FLOW_TRACKS, 4), np.float32)
-        t_valid = np.zeros(fk.MAX_FLOW_TRACKS, bool)
-        t_kps = np.zeros((fk.MAX_FLOW_TRACKS, fk.KP_PER_TRACK, 2), np.float32)
-        t_kp_valid = np.zeros((fk.MAX_FLOW_TRACKS, fk.KP_PER_TRACK), bool)
+        t_tlbrs = np.zeros((f_cap, 4), np.float32)
+        t_valid = np.zeros(f_cap, bool)
+        t_kps = np.zeros((f_cap, fk.KP_PER_TRACK, 2), np.float32)
+        t_kp_valid = np.zeros((f_cap, fk.KP_PER_TRACK), bool)
         for i, trk in enumerate(tracks):
             t_tlbrs[i] = trk.tlbr
             t_valid[i] = True

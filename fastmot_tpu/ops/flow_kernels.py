@@ -38,8 +38,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_FLOW_TRACKS = 64
+MAX_FLOW_TRACKS = 128   # hard cap (MOT20 density: 50-80 objects/frame)
 KP_PER_TRACK = 32
+
+
+def flow_budget(n_active: int) -> int:
+    """Static per-frame LK track budget. The flow cores are shape-generic
+    in the track axis; callers pad to one of two buckets so typical
+    scenes (<= 64 active tracks) keep the LK point batch half-sized while
+    MOT20-density crowds get the full cap. Two buckets = at most two
+    compiled kernel variants, chosen per frame from the host-side active
+    count (which is exact at dispatch time)."""
+    return 64 if n_active <= 64 else MAX_FLOW_TRACKS
 BG_KP = 256
 CELL = 8          # candidate-corner grid pitch (full-res pixels)
 BG_CELL = 4       # candidate grid pitch on the bg-scale image
@@ -605,7 +615,7 @@ def flow_points_core(spec: FlowSpec, prev_state, t_tlbrs, t_valid,
      bg_pts_full, bg_score) = prev_state
     w_f, h_f = spec.size
     frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
-    t_idx = jnp.arange(MAX_FLOW_TRACKS)
+    t_idx = jnp.arange(t_tlbrs.shape[0])   # track budget = input shape
 
     # clip track boxes to the frame (intersection, flow.py:163)
     in_tl = jnp.maximum(t_tlbrs[:, 0:2], frame_tlbr[0:2])
@@ -696,11 +706,12 @@ def flow_post_core(spec: FlowSpec, t_tlbrs, t_valid, inside,
     of a flow step (scan-based fixed-budget solvers, no while-loops)."""
     w_f, h_f = spec.size
     frame_tlbr = jnp.array([0.0, 0.0, w_f - 1.0, h_f - 1.0])
-    t_idx = jnp.arange(MAX_FLOW_TRACKS)
-    n_track_pts = MAX_FLOW_TRACKS * KP_PER_TRACK
-    trk_prev = all_prev[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
-    trk_cur = all_cur[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK, 2)
-    trk_status = status[:n_track_pts].reshape(MAX_FLOW_TRACKS, KP_PER_TRACK)
+    f_cap = t_tlbrs.shape[0]               # track budget = input shape
+    t_idx = jnp.arange(f_cap)
+    n_track_pts = f_cap * KP_PER_TRACK
+    trk_prev = all_prev[:n_track_pts].reshape(f_cap, KP_PER_TRACK, 2)
+    trk_cur = all_cur[:n_track_pts].reshape(f_cap, KP_PER_TRACK, 2)
+    trk_status = status[:n_track_pts].reshape(f_cap, KP_PER_TRACK)
     bg_prev = all_prev[n_track_pts:]
     bg_cur = all_cur[n_track_pts:]
     bg_status = status[n_track_pts:]
@@ -722,7 +733,7 @@ def flow_post_core(spec: FlowSpec, t_tlbrs, t_valid, inside,
     cur_blocked = jnp.any(cur_in_other & nearer, axis=-1)
     match_valid = trk_status & cur_in_frame & ~cur_blocked
 
-    keys = jax.random.split(jax.random.fold_in(key, 1), MAX_FLOW_TRACKS)
+    keys = jax.random.split(jax.random.fold_in(key, 1), f_cap)
     sim_ok, aff, sim_inlier, n_matched, n_inl = jax.vmap(
         lambda p, c, v, k: ransac_similarity(p, c, v, k, spec.inlier_thresh)
     )(trk_prev, trk_cur, match_valid, keys)

@@ -47,9 +47,11 @@ def _preprocess_batch_kernel(spec, frames):
     return jax.vmap(partial(fk._preprocess_jit, spec))(frames)
 
 
-@partial(jax.jit, static_argnames=('spec',))
-def _gap_points_batch(spec, states, prev_states):
-    return jax.vmap(partial(_gap_points_core, spec))(states, prev_states)
+@partial(jax.jit, static_argnames=('spec', 'f_cap'))
+def _gap_points_batch(spec, f_cap, states, prev_states):
+    return jax.vmap(
+        lambda st, pre: _gap_points_core(spec, st, pre, f_cap)
+    )(states, prev_states)
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -245,15 +247,19 @@ class StreamTracker:
             self._stack_from_mirrors()
         t0 = self.trackers[0]
         from ..ops import flow_kernels as fk
+        max_active = 0
         for trk in self.trackers:
             n_active = sum(1 for t in trk.tracks.values() if t.active)
+            max_active = max(max_active, n_active)
             trk.overflow.bump('flow_tracks_clipped',
                               n_active - fk.MAX_FLOW_TRACKS)
+        # one static budget for the whole batch: the densest stream picks
+        f_cap = fk.flow_budget(max_active)
 
         spec = t0.flow.spec
         cur_pre = self._preprocess_batch(frames)
         all_prev, all_valid, inside, forder, f_tlbrs, f_valid = \
-            _gap_points_batch(spec, self._dev_state, self._prev_pre)
+            _gap_points_batch(spec, f_cap, self._dev_state, self._prev_pre)
         all_cur, status = _lk_batch(
             spec, self._prev_pre[0], self._prev_pre[1],
             cur_pre[0], cur_pre[1], all_prev, all_valid)

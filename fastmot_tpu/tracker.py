@@ -131,7 +131,8 @@ def _create_kernel(cfg: KalmanConfig, d_tlbrs):
 def _chained_track_core(cfg: KalmanConfig, spec, age_penalty: float,
                         confirm_hits: int,
                         prev_state, cur_frame, seed, state,
-                        trans, acc_cov, frame_tlbr):
+                        trans, acc_cov, frame_tlbr,
+                        f_cap: int | None = None):
     """One tracking-only frame entirely on device (mot.py:162-164 path):
     frame preprocess -> in-kernel depth sort (flow.py:157) -> corner
     management / pyramidal LK / RANSAC -> KF warp/predict/KLT-update ->
@@ -144,7 +145,8 @@ def _chained_track_core(cfg: KalmanConfig, spec, age_penalty: float,
 
     cur_state = fk._preprocess_jit(spec, cur_frame)
     t_cap = means.shape[0]
-    f_cap = fk.MAX_FLOW_TRACKS
+    if f_cap is None:
+        f_cap = fk.MAX_FLOW_TRACKS
 
     active = valid & (ages < 2)
     key = -tlbrs[:, 3] + ages.astype(jnp.float32) * 1e-3
@@ -211,7 +213,8 @@ def _chained_track_core(cfg: KalmanConfig, spec, age_penalty: float,
 
 
 _chained_track_kernel = partial(
-    jax.jit, static_argnames=('cfg', 'spec', 'age_penalty', 'confirm_hits')
+    jax.jit, static_argnames=('cfg', 'spec', 'age_penalty', 'confirm_hits',
+                              'f_cap')
 )(_chained_track_core)
 
 
@@ -224,7 +227,7 @@ _chained_track_kernel = partial(
 # persist as flow state across frames, so the split adds no HBM traffic.
 # ---------------------------------------------------------------------------
 
-def _gap_pre_core(spec, cur_frame, state, prev_state):
+def _gap_pre_core(spec, cur_frame, state, prev_state, f_cap: int):
     """Current-frame preprocess + depth sort + corner management + LK
     point assembly in one dispatch (neither half contains a while-loop,
     so fusing them is safe from the big-kernel loop penalty and saves
@@ -233,16 +236,16 @@ def _gap_pre_core(spec, cur_frame, state, prev_state):
     from .ops import flow_kernels as fk
 
     cur_state = fk._preprocess_jit(spec, cur_frame)
-    return (cur_state,) + _gap_points_core(spec, state, prev_state)
+    return (cur_state,) + _gap_points_core(spec, state, prev_state, f_cap)
 
 
-def _gap_points_core(spec, state, prev_state):
-    """Depth sort + corner management + LK point assembly."""
-    from .ops import flow_kernels as fk
+def _gap_points_core(spec, state, prev_state, f_cap: int):
+    """Depth sort + corner management + LK point assembly. ``f_cap`` is
+    the static flow-track budget for this frame (fk.flow_budget)."""
+    from .ops import flow_kernels as fk   # noqa: F401 (spec types)
 
     (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
      lost_pending, inl, kps, kp_valid, feat_sum, feat_count) = state
-    f_cap = fk.MAX_FLOW_TRACKS
     active = valid & (ages < 2)
     key = -tlbrs[:, 3] + ages.astype(jnp.float32) * 1e-3
     key = jnp.where(active, key, jnp.inf)
@@ -269,7 +272,7 @@ def _gap_commit_core(cfg: KalmanConfig, spec, age_penalty: float,
     (means, covs, tlbrs, valid, ages, hits, labels, start_f, end_f,
      lost_pending, inl, kps, kp_valid, feat_sum, feat_count) = state
     t_cap = means.shape[0]
-    f_cap = fk.MAX_FLOW_TRACKS
+    f_cap = f_tlbrs.shape[0]   # static flow budget chosen by the caller
     active = valid & (ages < 2)
 
     (h_ok, h_mat, bg_prev, bg_cur, bg_inlier, est, est_valid, inl_ratio,
@@ -324,10 +327,10 @@ def _gap_commit_core(cfg: KalmanConfig, spec, age_penalty: float,
 
 
 _gap_points_kernel = partial(
-    jax.jit, static_argnames=('spec',))(_gap_points_core)
+    jax.jit, static_argnames=('spec', 'f_cap'))(_gap_points_core)
 
 _gap_pre_kernel = partial(
-    jax.jit, static_argnames=('spec',))(_gap_pre_core)
+    jax.jit, static_argnames=('spec', 'f_cap'))(_gap_pre_core)
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -941,6 +944,7 @@ class MultiTracker:
         n_active = sum(1 for t in self.tracks.values() if t.active)
         self.overflow.bump('flow_tracks_clipped',
                            n_active - fk.MAX_FLOW_TRACKS)
+        f_cap = fk.flow_budget(n_active)
 
         # four chained dispatches (zero host reads): preprocess, point
         # assembly, pyramidal LK in its own small kernel, then
@@ -949,7 +953,8 @@ class MultiTracker:
         prev_state = self.flow.device_state
         (cur_state, all_prev, all_valid, inside, forder, f_tlbrs,
          f_valid) = _gap_pre_kernel(spec, jnp.asarray(frame),
-                                    self._dev_state, prev_state)
+                                    self._dev_state, prev_state,
+                                    f_cap=f_cap)
         all_cur, status = _lk_kernel(
             spec, prev_state[0], prev_state[1], cur_state[0], cur_state[1],
             all_prev, all_valid)

@@ -1,0 +1,655 @@
+"""Association-cascade parity oracle (the MOTA-parity instrument).
+
+``RefCascade`` is a faithful NumPy port of the reference's FULL
+association semantics — update() cascade order, fuse/gate, rectify and
+merge, reID, lifecycle (reference tracker.py:185-293, 302-401;
+matching.py linear_assignment/greedy_match/fuse_motion/gate_cost;
+track.py lifecycle) — with scipy's Hungarian solver where the reference
+uses ``linear_sum_assignment``. It maintains its own track state and is
+driven with the SAME detection/embedding stream as the product
+``MultiTracker``; after every frame the two must agree on every
+lifecycle outcome (track boxes, ages, hits, confirmed/active flags,
+history membership, merges) through an identity map built from
+creation events.
+
+Shared-math policy: the oracle deliberately consumes the repo's own
+*piecewise-oracle-tested* kernels for the numeric ingredients (cdist,
+Mahalanobis distance, IoU matrices, occlusion mask, Kalman algebra) so
+that what THIS test pins down is exactly the cascade's decision
+semantics, not floating-point drift in the ingredients.
+
+Documented divergences (fuzz scenes are generated with decision margins
+so none of these are load-bearing):
+
+- auction (eps_final=1e-2) vs scipy Hungarian tie-breaks: equal-cost
+  assignment sets may differ; scenes keep competing costs separated.
+- the reference's ``_reid_cost`` reads gate labels from ALL hist tracks
+  while building feature rows only from those with ``count >= 2``
+  (reference tracker.py:364-365) — a row/label misalignment when they
+  differ. The oracle (like the repo) uses the correct per-row labels.
+- the repo drops a *newly created* track whose box is already
+  out-of-frame (ios < 0.5); the reference creates it and only retires
+  it on the next frame. Scenes keep detections inside the frame.
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from fastmot_tpu import kalman as kf
+from fastmot_tpu.detector import make_detections
+from fastmot_tpu.ops import assignment as asg
+from fastmot_tpu.ops import distance as dist
+from fastmot_tpu.ops import geometry as geom
+from fastmot_tpu.track import AverageFeature, Track
+from fastmot_tpu.tracker import MultiTracker, _apply_kalman_kernel
+
+INF = asg.INF_COST
+CHI = asg.CHI_SQ_INV_95
+FRAME_SIZE = (640, 480)
+FEAT_DIM = 512   # must equal tracker.FEAT_DIM (device state feature width)
+
+
+def _np(x):
+    return np.asarray(jax.device_get(x))
+
+
+# ---------------------------------------------------------------------------
+# Reference matching primitives (matching.py:10-120), NumPy port
+# ---------------------------------------------------------------------------
+
+def linear_assignment(cost, row_ids, col_ids):
+    if cost.size == 0:
+        return [], list(row_ids), list(col_ids)
+    m_rows, m_cols = linear_sum_assignment(cost)
+    matches, u_rows, u_cols = [], set(range(len(row_ids))), set(
+        range(len(col_ids)))
+    for r, c in zip(m_rows, m_cols):
+        u_rows.discard(r)
+        u_cols.discard(c)
+        if cost[r, c] < INF:
+            matches.append((row_ids[r], col_ids[c]))
+        else:
+            u_rows.add(r)
+            u_cols.add(c)
+    return (matches, [row_ids[r] for r in sorted(u_rows)],
+            [col_ids[c] for c in sorted(u_cols)])
+
+
+def greedy_match(cost, row_ids, col_ids, max_cost):
+    cost = np.array(cost, float)
+    rows, cols = list(range(cost.shape[0])), list(range(cost.shape[1]))
+    matches = []
+    while rows and cols:
+        sub = cost[np.ix_(rows, cols)]
+        i, j = np.unravel_index(np.argmin(sub), sub.shape)
+        if sub[i, j] <= max_cost:
+            matches.append((row_ids[rows[i]], col_ids[cols[j]]))
+            del rows[i]
+            del cols[j]
+        else:
+            break
+    return (matches, [row_ids[r] for r in rows], [col_ids[c] for c in cols])
+
+
+def fuse_motion(cost, m_dist, m_weight):
+    out = (1.0 - m_weight) * cost + m_weight * (m_dist / CHI)
+    out[m_dist > CHI] = INF
+    return out
+
+
+def gate(cost, row_labels, col_labels, max_cost=None):
+    bad = row_labels[:, None] != col_labels[None, :]
+    if max_cost is not None:
+        bad = bad | (cost > max_cost)
+    out = np.array(cost, float)
+    out[bad] = INF
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Oracle track + cascade
+# ---------------------------------------------------------------------------
+
+class RefTrack:
+    def __init__(self, trk_id, frame_id, tlbr, state, label, confirm_hits):
+        self.trk_id = trk_id
+        self.start_frame = frame_id
+        self.end_frame = frame_id
+        self.tlbr = np.asarray(tlbr, float)
+        self.state = state
+        self.label = int(label)
+        self.confirm_hits = confirm_hits
+        self.age = 0
+        self.hits = 0
+        self.avg_feat = AverageFeature()
+
+    @property
+    def active(self):
+        return self.age < 2
+
+    @property
+    def confirmed(self):
+        return self.hits >= self.confirm_hits
+
+    def add_detection(self, frame_id, tlbr, state, embedding, is_valid):
+        self.end_frame = frame_id
+        self.tlbr = np.asarray(tlbr, float)
+        self.state = state
+        if is_valid:
+            self.avg_feat.update(embedding)
+        self.age = 0
+        self.hits += 1
+
+    def reinstate(self, frame_id, tlbr, state, embedding):
+        self.start_frame = frame_id
+        self.end_frame = frame_id
+        self.tlbr = np.asarray(tlbr, float)
+        self.state = state
+        self.avg_feat.update(embedding)
+        self.age = 0
+
+    def merge_continuation(self, other):
+        self.end_frame = other.end_frame
+        self.tlbr = other.tlbr
+        self.state = other.state
+        self.age = other.age
+        self.hits += other.hits
+        self.avg_feat.merge(other.avg_feat)
+
+
+class RefCascade:
+    """NumPy port of the reference MultiTracker association semantics,
+    sharing the repo's numeric kernels (see module docstring)."""
+
+    def __init__(self, size, metric, max_age=6, age_penalty=2,
+                 motion_weight=0.2, max_assoc_cost=0.9, max_reid_cost=0.45,
+                 iou_thresh=0.4, duplicate_thresh=0.8, occlusion_thresh=0.7,
+                 conf_thresh=0.5, confirm_hits=1, history_size=50):
+        self.size = size
+        self.metric = dist.Metric[str(metric).upper()]
+        self.max_age = max_age
+        self.age_penalty = age_penalty
+        self.motion_weight = motion_weight
+        self.max_assoc_cost = max_assoc_cost
+        self.max_reid_cost = max_reid_cost
+        self.iou_thresh = iou_thresh
+        self.duplicate_thresh = duplicate_thresh
+        self.occlusion_thresh = occlusion_thresh
+        self.conf_thresh = conf_thresh
+        self.confirm_hits = confirm_hits
+        self.history_size = history_size
+        self.kf_cfg = kf.KalmanConfig()
+        self._dt = 1 / 30.0
+        self._mats = kf.init_mats(self.kf_cfg, self._dt)
+        self.frame_rect = _np(geom.to_tlbr(
+            np.array([0, 0, *size], np.float32))).astype(np.float32)
+        self.tracks = {}
+        self.hist_tracks = {}   # insertion-ordered (py3.7 dict)
+        self._next_id = 0
+
+    def next_id(self):
+        self._next_id += 1
+        return self._next_id
+
+    # -- frame steps ------------------------------------------------------
+
+    def init(self, detections):
+        self.tracks.clear()
+        m, c = kf.batched_create(self.kf_cfg,
+                                 jnp.asarray(detections.tlbr, jnp.float32))
+        m, c = _np(m), _np(c)
+        for i, det in enumerate(detections):
+            t = RefTrack(self.next_id(), 0, det.tlbr, (m[i], c[i]),
+                         det.label, self.confirm_hits)
+            self.tracks[t.trk_id] = t
+
+    def predict(self):
+        """Identity-homography compute_flow + apply_kalman
+        (reference tracker.py:164-183 with no KLT measurements), using
+        the repo's own batched KF kernel for bit-identical algebra."""
+        if not self.tracks:
+            return
+        ids = list(self.tracks.keys())
+        means = np.stack([self.tracks[t].state[0] for t in ids])
+        covs = np.stack([self.tracks[t].state[1] for t in ids])
+        n = len(ids)
+        trans, acc = self._mats[2], self._mats[0]
+        out = _apply_kalman_kernel(
+            self.kf_cfg, jnp.asarray(means), jnp.asarray(covs),
+            jnp.eye(3, dtype=jnp.float32), trans, acc,
+            jnp.zeros((n, 4), jnp.float32), jnp.zeros(n, bool),
+            jnp.ones(n, jnp.float32), jnp.asarray(self.frame_rect))
+        new_m, new_c, next_tlbrs, ios_vals = map(_np, out)
+        for i, tid in enumerate(ids):
+            trk = self.tracks[tid]
+            trk.tlbr = next_tlbrs[i].astype(float)
+            trk.state = (new_m[i], new_c[i])
+            if ios_vals[i] < 0.5:
+                self._mark_lost(tid)
+
+    # -- cascade ----------------------------------------------------------
+
+    def update(self, frame_id, detections, embeddings):
+        n_det = len(detections)
+        d_tlbrs = np.asarray(detections.tlbr, np.float32).reshape(n_det, 4)
+        d_labels = np.asarray(detections.label, int)
+        occluded = _np(geom.find_occluded(jnp.asarray(d_tlbrs),
+                                          self.occlusion_thresh)) \
+            if n_det else np.zeros(0, bool)
+        confirmed_by_depth, unconfirmed = self._group_by_depth()
+
+        matches1, u_trk_ids1 = [], []
+        u_det_ids = list(range(n_det))
+        for depth in range(len(confirmed_by_depth)):
+            if len(u_det_ids) == 0:
+                for rest in confirmed_by_depth[depth:]:
+                    u_trk_ids1.extend(rest)
+                break
+            trk_ids = confirmed_by_depth[depth]
+            if len(trk_ids) == 0:
+                continue
+            cost = self._matching_cost(
+                trk_ids, d_tlbrs[u_det_ids], d_labels[u_det_ids],
+                embeddings[u_det_ids], occluded[u_det_ids])
+            m, u_t, u_d = linear_assignment(cost, trk_ids, u_det_ids)
+            matches1 += m
+            u_trk_ids1 += u_t
+            u_det_ids = u_d
+
+        active = [t for t in u_trk_ids1 if self.tracks[t].active]
+        u_trk_ids1 = [t for t in u_trk_ids1 if not self.tracks[t].active]
+        cost = self._iou_cost(active, d_tlbrs[u_det_ids],
+                              d_labels[u_det_ids])
+        matches2, u_trk_ids2, u_det_ids = linear_assignment(
+            cost, active, u_det_ids)
+
+        cost = self._iou_cost(unconfirmed, d_tlbrs[u_det_ids],
+                              d_labels[u_det_ids])
+        matches3, u_trk_ids3, u_det_ids = linear_assignment(
+            cost, unconfirmed, u_det_ids)
+
+        # reID with track history (reference tracker.py:229-241)
+        hist_ids = [tid for tid, t in self.hist_tracks.items()
+                    if t.avg_feat.count >= 2]
+        u_det_ids = [d for d in u_det_ids
+                     if detections.conf[d] >= self.conf_thresh]
+        valid_u = [d for d in u_det_ids if not occluded[d]]
+        invalid_u = [d for d in u_det_ids if occluded[d]]
+        cost = self._reid_cost(hist_ids, d_labels[valid_u],
+                               embeddings[valid_u])
+        reid_matches, _, reid_u_det_ids = greedy_match(
+            cost, hist_ids, valid_u, self.max_reid_cost)
+
+        matches = list(matches1) + list(matches2) + list(matches3)
+        u_trk_ids = list(u_trk_ids1) + list(u_trk_ids2) + list(u_trk_ids3)
+        matches, u_trk_ids = self._rectify_matches(
+            matches, u_trk_ids, d_tlbrs)
+
+        # reinstate matched history tracks
+        for tid, det_id in reid_matches:
+            track = self.hist_tracks.pop(tid)
+            m, c = kf.batched_create(
+                self.kf_cfg, jnp.asarray(d_tlbrs[det_id:det_id + 1]))
+            track.reinstate(frame_id, d_tlbrs[det_id],
+                            (_np(m)[0], _np(c)[0]), embeddings[det_id])
+            self.tracks[tid] = track
+
+        # update matched tracks
+        for tid, det_id in matches:
+            track = self.tracks[tid]
+            m, c = kf.update(self.kf_cfg,
+                             jnp.asarray(track.state[0]),
+                             jnp.asarray(track.state[1]),
+                             jnp.asarray(d_tlbrs[det_id]),
+                             jnp.bool_(False), jnp.float32(1.0))
+            m, c = _np(m), _np(c)
+            next_tlbr = _np(geom.as_tlbr(jnp.asarray(m[:4]))).astype(float)
+            is_valid = not occluded[det_id]
+            if float(_np(geom.ios(jnp.asarray(next_tlbr, jnp.float32),
+                                  jnp.asarray(self.frame_rect)))) < 0.5:
+                is_valid = False
+                track.add_detection(frame_id, next_tlbr, (m, c),
+                                    embeddings[det_id], is_valid)
+                self._mark_lost(tid)
+            else:
+                track.add_detection(frame_id, next_tlbr, (m, c),
+                                    embeddings[det_id], is_valid)
+
+        # clean up lost tracks
+        for tid in u_trk_ids:
+            track = self.tracks[tid]
+            track.age += 1
+            if not track.confirmed:
+                del self.tracks[tid]
+                continue
+            if track.age > self.max_age:
+                self._mark_lost(tid)
+
+        # start new tracks
+        for det_id in list(invalid_u) + list(reid_u_det_ids):
+            m, c = kf.batched_create(
+                self.kf_cfg, jnp.asarray(d_tlbrs[det_id:det_id + 1]))
+            t = RefTrack(self.next_id(), frame_id, d_tlbrs[det_id],
+                         (_np(m)[0], _np(c)[0]), d_labels[det_id],
+                         self.confirm_hits)
+            self.tracks[t.trk_id] = t
+
+    # -- helpers (reference tracker.py:302-401) ---------------------------
+
+    def _mark_lost(self, tid):
+        track = self.tracks.pop(tid)
+        if track.confirmed:
+            self.hist_tracks[tid] = track
+            while len(self.hist_tracks) > self.history_size:
+                oldest = next(iter(self.hist_tracks))
+                del self.hist_tracks[oldest]
+
+    def _group_by_depth(self, group_size=2):
+        n_depth = (self.max_age + group_size) // group_size
+        confirmed = [[] for _ in range(n_depth)]
+        unconfirmed = []
+        for tid, t in self.tracks.items():
+            if t.confirmed:
+                confirmed[t.age // group_size].append(tid)
+            else:
+                unconfirmed.append(tid)
+        return confirmed, unconfirmed
+
+    def _matching_cost(self, trk_ids, d_tlbrs, d_labels, embs, occluded):
+        n_trk, n_det = len(trk_ids), len(d_tlbrs)
+        if n_trk == 0 or n_det == 0:
+            return np.empty((n_trk, n_det))
+        feats = np.zeros((n_trk, embs.shape[1]), np.float32)
+        invalid = np.zeros(n_trk, bool)
+        for i, tid in enumerate(trk_ids):
+            t = self.tracks[tid]
+            if t.avg_feat.is_valid():
+                feats[i] = t.avg_feat()
+            else:
+                invalid[i] = True
+        fill = min(self.max_assoc_cost + 0.1, 1.0)
+        empty = invalid[:, None] | occluded[None, :]
+        cost = _np(dist.cdist(jnp.asarray(feats), jnp.asarray(embs),
+                              self.metric, empty_mask=jnp.asarray(empty),
+                              fill_val=fill)).astype(float)
+        means = np.stack([self.tracks[t].state[0] for t in trk_ids])
+        covs = np.stack([self.tracks[t].state[1] for t in trk_ids])
+        m_dist = _np(kf.batched_maha_distance(
+            self.kf_cfg, jnp.asarray(means), jnp.asarray(covs),
+            jnp.asarray(d_tlbrs)))
+        cost = fuse_motion(cost, m_dist, self.motion_weight)
+        t_labels = np.array([self.tracks[t].label for t in trk_ids])
+        return gate(cost, t_labels, d_labels, self.max_assoc_cost)
+
+    def _iou_cost(self, trk_ids, d_tlbrs, d_labels):
+        n_trk, n_det = len(trk_ids), len(d_tlbrs)
+        if n_trk == 0 or n_det == 0:
+            return np.empty((n_trk, n_det))
+        t_boxes = np.stack([self.tracks[t].tlbr for t in trk_ids])
+        cost = _np(dist.iou_dist(jnp.asarray(t_boxes, jnp.float32),
+                                 jnp.asarray(d_tlbrs))).astype(float)
+        t_labels = np.array([self.tracks[t].label for t in trk_ids])
+        return gate(cost, t_labels, d_labels, 1.0 - self.iou_thresh)
+
+    def _reid_cost(self, hist_ids, d_labels, embs):
+        n_hist, n_det = len(hist_ids), len(embs)
+        if n_hist == 0 or n_det == 0:
+            return np.empty((n_hist, n_det))
+        feats = np.stack([self.hist_tracks[t].avg_feat() for t in hist_ids])
+        cost = _np(dist.cdist(jnp.asarray(feats), jnp.asarray(embs),
+                              self.metric)).astype(float)
+        t_labels = np.array([self.hist_tracks[t].label for t in hist_ids])
+        return gate(cost, t_labels, d_labels)
+
+    def _rectify_matches(self, matches, u_trk_ids, d_tlbrs):
+        matches, u_trk_ids = set(matches), set(u_trk_ids)
+        inactive_matches = [mt for mt in matches
+                            if not self.tracks[mt[0]].active]
+        u_active = [t for t in sorted(u_trk_ids)
+                    if self.tracks[t].confirmed and self.tracks[t].active]
+        if not inactive_matches or not u_active:
+            return matches, u_trk_ids
+        m_inactive, det_ids = zip(*sorted(inactive_matches))
+        t_boxes = np.stack([self.tracks[t].tlbr for t in u_active])
+        d_boxes = d_tlbrs[list(det_ids)]
+        iou_cost = _np(dist.iou_dist(
+            jnp.asarray(t_boxes, jnp.float32),
+            jnp.asarray(d_boxes, jnp.float32))).astype(float)
+        dup_matches, _, _ = greedy_match(
+            iou_cost, u_active, list(range(len(m_inactive))),
+            1.0 - self.duplicate_thresh)
+        for u_tid, col in dup_matches:
+            m_tid, det_id = m_inactive[col], det_ids[col]
+            t_u, t_m = self.tracks[u_tid], self.tracks[m_tid]
+            if t_m.end_frame < t_u.start_frame:
+                t_m.merge_continuation(t_u)
+                u_trk_ids.remove(u_tid)
+                del self.tracks[u_tid]
+            else:
+                u_trk_ids.remove(u_tid)
+                u_trk_ids.add(m_tid)
+                matches.remove((m_tid, det_id))
+                matches.add((u_tid, det_id))
+        return matches, u_trk_ids
+
+
+# ---------------------------------------------------------------------------
+# Scene generation: dense, adversarial, but margin-ful (no near-ties)
+# ---------------------------------------------------------------------------
+
+class Scene:
+    """K objects on random walks; detections with misses, duplicates,
+    false positives, two labels, clustered appearance."""
+
+    def __init__(self, seed, n_objects=14, noise=2.0):
+        self.rng = np.random.default_rng(seed)
+        r = self.rng
+        self.n = n_objects
+        w, h = FRAME_SIZE
+        self.pos = np.stack([r.uniform(80, w - 160, n_objects),
+                             r.uniform(80, h - 220, n_objects)], axis=1)
+        self.vel = r.uniform(-4, 4, (n_objects, 2))
+        self.wh = np.stack([r.uniform(40, 80, n_objects),
+                            r.uniform(80, 140, n_objects)], axis=1)
+        self.labels = r.integers(1, 3, n_objects)
+        # appearance: half the objects share a cluster base (adversarial
+        # for appearance-only matching) with separated per-object offsets
+        base = r.normal(size=(max(2, n_objects // 3), FEAT_DIM))
+        self.emb = np.empty((n_objects, FEAT_DIM), np.float32)
+        for i in range(n_objects):
+            e = base[i % len(base)] + 0.6 * r.normal(size=FEAT_DIM)
+            self.emb[i] = e / np.linalg.norm(e)
+        self.noise = noise
+
+    def frame(self, drop_p=0.18, dup_p=0.08, fp_p=0.15):
+        r = self.rng
+        self.pos += self.vel
+        w, h = FRAME_SIZE
+        self.pos[:, 0] = np.clip(self.pos[:, 0], 60, w - 150)
+        self.pos[:, 1] = np.clip(self.pos[:, 1], 60, h - 210)
+        tlbrs, labels, confs, embs = [], [], [], []
+
+        def emit(i, jitter, conf):
+            tl = self.pos[i] + jitter
+            box = np.round([tl[0], tl[1], tl[0] + self.wh[i, 0],
+                            tl[1] + self.wh[i, 1]])
+            e = self.emb[i] + 0.05 * r.normal(size=FEAT_DIM)
+            tlbrs.append(box)
+            labels.append(self.labels[i])
+            confs.append(conf)
+            embs.append(e / np.linalg.norm(e))
+
+        for i in range(self.n):
+            if r.uniform() < drop_p:
+                continue
+            emit(i, r.normal(0, self.noise, 2), r.uniform(0.45, 0.99))
+            if r.uniform() < dup_p:   # overlapping duplicate detection
+                emit(i, r.normal(0, self.noise, 2) + r.uniform(2, 5, 2),
+                     r.uniform(0.35, 0.9))
+        n_fp = r.poisson(fp_p * 3)
+        for _ in range(n_fp):
+            i = r.integers(self.n)
+            emit(i, r.uniform(15, 40, 2) * r.choice([-1, 1], 2),
+                 r.uniform(0.3, 0.8))
+        if not tlbrs:
+            return (make_detections(np.zeros((0, 4)), np.zeros(0, int),
+                                    np.zeros(0)),
+                    np.zeros((0, FEAT_DIM), np.float32))
+        # drop exact-duplicate boxes (identity mapping needs unique keys)
+        tlbrs = np.array(tlbrs, float)
+        _, keep = np.unique(tlbrs, axis=0, return_index=True)
+        keep = np.sort(keep)
+        return (make_detections(tlbrs[keep],
+                                np.array(labels, int)[keep],
+                                np.array(confs, float)[keep]),
+                np.array(embs, np.float32)[keep])
+
+
+# ---------------------------------------------------------------------------
+# Driver + comparison
+# ---------------------------------------------------------------------------
+
+class StubFlow:
+    def __init__(self):
+        self.bg_keypoints = np.empty((0, 2), np.float32)
+        self.prev_bg_keypoints = np.empty((0, 2), np.float32)
+
+    def init(self, frame):
+        pass
+
+    def predict(self, frame, tracks):
+        return {}, np.eye(3)
+
+
+DUP_ALIAS_PX = 10.0   # max per-corner distance for a duplicate-pair alias
+
+
+def _id_map_update(idmap, loose, trk, ref, frame_id):
+    """Extend oracle-id -> repo-id map with this frame's creations,
+    keyed by the (unique) initial tlbr.
+
+    Tie tolerance: when the two sides seed a new track from *different
+    members of a near-duplicate detection pair* (boxes within
+    DUP_ALIAS_PX on every corner, same label) — the documented
+    auction-vs-Hungarian tie divergence — the pair is aliased and the
+    repo track id is marked "loose": lifecycle equality is still
+    enforced for it, box equality is not."""
+    known_repo = set(idmap.values())
+    known_ref = set(idmap.keys())
+    all_repo = {**trk.tracks, **trk.hist_tracks}
+    all_ref = {**ref.tracks, **ref.hist_tracks}
+    new_repo = {tuple(t.tlbr): tid for tid, t in all_repo.items()
+                if tid not in known_repo and t.start_frame == frame_id}
+    new_ref = {tuple(t.tlbr): tid for tid, t in all_ref.items()
+               if tid not in known_ref and t.start_frame == frame_id}
+    only_repo = {k: v for k, v in new_repo.items() if k not in new_ref}
+    only_ref = {k: v for k, v in new_ref.items() if k not in new_repo}
+    for k in set(new_ref) & set(new_repo):
+        idmap[new_ref[k]] = new_repo[k]
+    # alias leftover near-duplicate pairs
+    for k_ref, rid in list(only_ref.items()):
+        best = None
+        for k_repo in only_repo:
+            d = max(abs(a - b) for a, b in zip(k_ref, k_repo))
+            if d <= DUP_ALIAS_PX and (best is None or d < best[0]):
+                best = (d, k_repo)
+        assert best is not None, \
+            f'creation mismatch @ {frame_id}: oracle {k_ref} has no ' \
+            f'repo counterpart within {DUP_ALIAS_PX}px ' \
+            f'(repo leftovers: {sorted(only_repo)})'
+        repo_id = only_repo.pop(best[1])
+        idmap[rid] = repo_id
+        loose.add(repo_id)
+    assert not only_repo, \
+        f'creation mismatch @ {frame_id}: repo-only creations ' \
+        f'{sorted(only_repo)}'
+
+
+def _compare(idmap, loose, trk, ref, frame_id):
+    live_ref = {idmap[t] for t in ref.tracks if t in idmap}
+    live_repo = set(trk.tracks.keys())
+    assert live_ref == live_repo, \
+        f'live-track mismatch @ {frame_id}: oracle {sorted(live_ref)} ' \
+        f'vs repo {sorted(live_repo)}'
+    hist_ref = {idmap[t] for t in ref.hist_tracks if t in idmap}
+    hist_repo = set(trk.hist_tracks.keys())
+    assert hist_ref == hist_repo, \
+        f'history mismatch @ {frame_id}: oracle {sorted(hist_ref)} vs ' \
+        f'repo {sorted(hist_repo)}'
+    for ref_id, t_ref in ref.tracks.items():
+        if ref_id not in idmap:
+            continue
+        t_repo = trk.tracks[idmap[ref_id]]
+        ctx = f'@{frame_id} oracle#{ref_id}/repo#{idmap[ref_id]}'
+        assert t_repo.age == t_ref.age, \
+            f'{ctx}: age {t_repo.age} != {t_ref.age}'
+        assert t_repo.hits == t_ref.hits, \
+            f'{ctx}: hits {t_repo.hits} != {t_ref.hits}'
+        assert t_repo.confirmed == t_ref.confirmed, ctx
+        atol = DUP_ALIAS_PX if idmap[ref_id] in loose else 1.01
+        np.testing.assert_allclose(
+            np.asarray(t_repo.tlbr, float), t_ref.tlbr, atol=atol,
+            err_msg=f'{ctx}: tlbr')
+
+
+def run_parity(seed, n_frames=12, metric='cosine', **kw):
+    scene = Scene(seed)
+    frame = np.zeros((FRAME_SIZE[1], FRAME_SIZE[0], 3), np.uint8)
+    Track._count = 0
+    trk = MultiTracker(FRAME_SIZE, metric, **kw)
+    trk.flow = StubFlow()
+    ref = RefCascade(FRAME_SIZE, metric, **kw)
+
+    d0, _ = scene.frame(drop_p=0.0, dup_p=0.0, fp_p=0.0)
+    trk.init(frame, d0)
+    ref.init(d0)
+    idmap, loose = {}, set()
+    _id_map_update(idmap, loose, trk, ref, 0)
+    _compare(idmap, loose, trk, ref, 0)
+
+    for fid in range(1, n_frames + 1):
+        dets, embs = scene.frame()
+        trk.compute_flow(frame)
+        trk.apply_kalman()
+        ref.predict()
+        trk.update(fid, dets, embs)
+        ref.update(fid, dets, embs)
+        _id_map_update(idmap, loose, trk, ref, fid)
+        _compare(idmap, loose, trk, ref, fid)
+
+
+BASE_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize('seed', BASE_SEEDS)
+def test_cascade_parity_cosine(seed):
+    run_parity(seed, metric='cosine')
+
+
+@pytest.mark.parametrize('seed', [100, 101, 102, 103])
+def test_cascade_parity_euclidean(seed):
+    run_parity(seed, metric='euclidean')
+
+
+@pytest.mark.parametrize('seed', [200, 201, 202, 203])
+def test_cascade_parity_hard_lifecycle(seed):
+    """Short max_age + confirm_hits=2 exercises the unconfirmed stage,
+    early deletion, retirement, and reID churn."""
+    run_parity(seed, metric='cosine', max_age=3, confirm_hits=2,
+               history_size=6)
+
+
+@pytest.mark.slow
+def test_cascade_parity_fuzz_200():
+    """The full >= 200-scene fuzz (VERDICT r2 item 2). Runs in the slow
+    lane; the parametrized seeds above are the fast CI slice."""
+    n = int(os.environ.get('ASSOC_FUZZ_SCENES', '200'))
+    for seed in range(1000, 1000 + n // 2):
+        run_parity(seed, n_frames=8, metric='cosine')
+    for seed in range(2000, 2000 + n // 2):
+        run_parity(seed, n_frames=8, metric='euclidean',
+                   max_age=4, confirm_hits=2, history_size=10)

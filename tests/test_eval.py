@@ -73,3 +73,37 @@ def test_mt_ml():
     res = frames_from_rows(res_rows)
     m = evaluate(gt, res)
     assert m.mt == 1 and m.ml == 1
+
+
+def test_idf1_independent_of_clear_continuity():
+    """Ristani IDF1 counts (gt, res) co-occurrence at IoU >= 0.5 globally,
+    NOT just CLEAR-selected pairs. gt 1 is covered by res 9 on ALL 10
+    frames (IoU ~0.85); res 5 covers it exactly on frames 1-2 only, so
+    the CLEAR matcher prefers res 5 there (higher IoU + continuity) and
+    only matches res 9 on frames 3-10. The global trajectory bipartite
+    must still credit gt1<->res9 with all 10 frames:
+    IDTP=10, IDFP=12-10=2, IDFN=0 -> IDF1 = 20/22. (The old
+    CLEAR-coupled accumulation gave IDTP=8 -> IDF1 = 16/22.)"""
+    gt = frames_from_rows(
+        [[f, 1, 10, 20, 50, 100, 1, 1, 1] for f in range(1, 11)], gt=True)
+    res_rows = [[f, 9, 14, 20, 50, 100, 1] for f in range(1, 11)]
+    res_rows += [[1, 5, 10, 20, 50, 100, 1], [2, 5, 10, 20, 50, 100, 1]]
+    res = frames_from_rows(res_rows)
+    m = evaluate(gt, res)
+    assert m.idf1 == pytest.approx(20 / 22)
+    # CLEAR metrics unchanged by the IDF1 fix: 2 FPs (res 9 unmatched on
+    # frames 1-2), one switch when gt 1 hops res5 -> res9 at frame 3
+    assert m.fp == 2 and m.fn == 0 and m.idsw == 1
+
+
+def test_idf1_duplicate_ghost_counts_as_idfp_only():
+    """A duplicate ghost track overlapping the same gt must not add IDTP
+    (one-one trajectory bipartite) but adds IDFP mass."""
+    gt = frames_from_rows(
+        [[f, 1, 10, 20, 50, 100, 1, 1, 1] for f in range(1, 6)], gt=True)
+    res_rows = [[f, 2, 10, 20, 50, 100, 1] for f in range(1, 6)]
+    res_rows += [[f, 3, 12, 20, 50, 100, 1] for f in range(1, 6)]
+    res = frames_from_rows(res_rows)
+    m = evaluate(gt, res)
+    # idtp = 5 (gt1<->res2); idfp = 10 - 5; idfn = 0
+    assert m.idf1 == pytest.approx(10 / 15)

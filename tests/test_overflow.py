@@ -32,13 +32,28 @@ def test_detections_clipped(rng):
     assert trk.overflow['detections_clipped'] == 25
 
 
-def test_flow_tracks_clipped(rng):
+def test_flow_budget_covers_mot20_density(rng):
+    """MOT20 density (BASELINE config 3: 50-80 objects/frame) fits the
+    flow budget with ZERO clipping: MAX_FLOW_TRACKS == MAX_TRACKS, so
+    every live track participates in KLT gap-fill (reference flow.py is
+    uncapped). The per-frame budget buckets to 64/128 so sparse scenes
+    keep the half-sized LK point batch."""
+    assert fk.MAX_FLOW_TRACKS >= MAX_TRACKS
+    assert fk.flow_budget(0) == 64
+    assert fk.flow_budget(64) == 64
+    assert fk.flow_budget(65) == fk.MAX_FLOW_TRACKS
+    assert fk.flow_budget(80) == fk.MAX_FLOW_TRACKS
+
     trk = _tracker()
     frame = rng.integers(0, 255, (SIZE[1], SIZE[0], 3), np.uint8)
-    n = fk.MAX_FLOW_TRACKS + 10
-    trk.init(frame, _dets(n, rng))
+    trk.init(frame, _dets(80, rng))
+    assert len(trk.tracks) == 80
+    # one gap frame at config-3 density: all 80 active tracks fit the
+    # 128 budget (tracks may still retire behaviorally — noise frames
+    # give garbage KLT boxes — but none are dropped from the flow)
     trk.track(rng.integers(0, 255, (SIZE[1], SIZE[0], 3), np.uint8))
-    assert trk.overflow['flow_tracks_clipped'] == 10
+    trk.sync()
+    assert 'flow_tracks_clipped' not in trk.overflow
 
 
 def test_keypoints_clipped(rng):
