@@ -333,6 +333,7 @@ class SSDDetector(Detector):
         decode = self._decode
         conf_thresh = self.conf_thresh
         merge_thresh = self.merge_thresh
+        nms_thresh = self.model.NMS_THRESH
         max_area = self.max_area
         postprocess = self._postprocess_device
 
@@ -349,16 +350,20 @@ class SSDDetector(Detector):
             locs, confs = module.apply(params, x)
             det_out = decode(locs, confs, anchors, topk)
             return postprocess(det_out, tiles_f, scale, label_mask,
-                               conf_thresh, max_area, merge_thresh)
+                               conf_thresh, max_area, merge_thresh,
+                               nms_thresh)
 
         return kernel
 
     @staticmethod
     def _postprocess_device(det_out, tiles_f, scale, label_mask,
-                            conf_thresh, max_area, merge_thresh):
+                            conf_thresh, max_area, merge_thresh,
+                            nms_thresh=0.5):
         """Fused SSD postprocess (detector.py:154-217) — filter, pixel
-        scaling, and the cross-tile IoM merge as padded array ops; no
-        per-detection host Python.
+        scaling, per-tile class-aware NMS (the role NMS_TRT played inside
+        each engine run, reference ssd.py:105/136-143), and the
+        cross-tile IoM merge as padded array ops; no per-detection host
+        Python.
 
         The merge is connected components over the symmetric relation
         "cross-tile, same label, IoM >= thresh", via min-label
@@ -388,6 +393,23 @@ class SSDDetector(Detector):
         valid = (conf >= conf_thresh) & \
             label_mask[jnp.clip(label, 0, label_mask.shape[0] - 1)] & \
             (area > 0) & (area <= max_area)
+
+        # per-tile class-aware greedy NMS (wave-parallel, exact): within
+        # one tile several anchors firing on one object must collapse to
+        # the best-scoring box BEFORE the cross-tile merge, which only
+        # links detections from different tiles. IoU is invariant to the
+        # axis-aligned pixel scaling, so suppressing in pixel space ==
+        # suppressing in tile space.
+        def _tile_nms(b, s, v, lab):
+            iou = geom.bbox_ious(b, b)
+            overlap = jnp.where(lab[:, None] == lab[None, :], iou, 0.0)
+            return geom._greedy_suppress(overlap, s, v, nms_thresh)
+
+        keep_nms = jax.vmap(_tile_nms)(tlbr.reshape(n_tiles, topk, 4),
+                                       conf.reshape(n_tiles, topk),
+                                       valid.reshape(n_tiles, topk),
+                                       label.reshape(n_tiles, topk))
+        valid = valid & keep_nms.reshape(n)
 
         # cross-tile IoM adjacency (symmetric)
         iom = geom.iom_matrix(tlbr)
@@ -447,53 +469,6 @@ class SSDDetector(Detector):
         out = self._pending
         self._pending = None
         return out
-
-    @staticmethod
-    def _merge(dets, tile_ids, num_tile, thresh):
-        """Cross-tile duplicate merge via IoM-threshold DFS
-        (detector.py:180-217)."""
-        def iom(a, b):
-            iw = min(a[2], b[2]) - max(a[0], b[0]) + 1
-            ih = min(a[3], b[3]) - max(a[1], b[1]) + 1
-            if iw <= 0 or ih <= 0:
-                return 0.0
-            area_a = (a[2] - a[0] + 1) * (a[3] - a[1] + 1)
-            area_b = (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
-            return iw * ih / min(area_a, area_b)
-
-        n = len(dets)
-        neighbors = [[] for _ in range(n)]
-        for i in range(n):
-            max_ioms = np.zeros(num_tile)
-            for j in range(n):
-                if tile_ids[i] != tile_ids[j] and dets[i].label == dets[j].label:
-                    overlap = iom(dets[i].tlbr, dets[j].tlbr)
-                    if overlap >= thresh and overlap > max_ioms[tile_ids[j]]:
-                        max_ioms[tile_ids[j]] = overlap
-                        neighbors[i].append(j)
-
-        keep = set(range(n))
-        for i in range(n):
-            if neighbors[i] and tile_ids[i] != -1:
-                tile_ids[i] = -1
-                stack = [i]
-                candidates = []
-                while stack:
-                    for j in neighbors[stack.pop()]:
-                        if tile_ids[j] != -1:
-                            candidates.append(j)
-                            tile_ids[j] = -1
-                            stack.append(j)
-                for k in candidates:
-                    dets[i].tlbr[:] = [min(dets[i].tlbr[0], dets[k].tlbr[0]),
-                                       min(dets[i].tlbr[1], dets[k].tlbr[1]),
-                                       max(dets[i].tlbr[2], dets[k].tlbr[2]),
-                                       max(dets[i].tlbr[3], dets[k].tlbr[3])]
-                    dets[i].conf = max(dets[i].conf, dets[k].conf)
-                    keep.discard(k)
-        dets = dets[np.array(sorted(keep))]
-        return dets[np.argsort(dets.label, kind='stable')].view(np.recarray)
-
 
 class PublicDetector(Detector):
     """Replays MOT Challenge public detections (detector.py:368-431)."""

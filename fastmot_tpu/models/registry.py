@@ -134,6 +134,7 @@ class YOLOModel(_ModelBase):
 class SSDModel(_ModelBase):
     NUM_CLASSES: int
     TOPK: int = 100
+    NMS_THRESH: float = 0.5   # NMS_TRT nmsThreshold (reference ssd.py:105)
 
     @classmethod
     def get_model(cls, name: str):
