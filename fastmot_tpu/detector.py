@@ -150,7 +150,8 @@ class YOLODetector(Detector):
                  nms_thresh=0.5,
                  max_area=800000,
                  min_aspect_ratio=1.2,
-                 quantize=None):
+                 quantize=None,
+                 calib_cache=None):
         super().__init__(size)
         from .models import registry
         from .models.yolo import decode_heads
@@ -175,9 +176,11 @@ class YOLODetector(Detector):
         self.quantize = quantize
         if quantize == 'int8':
             # int8 weight path (role of the reference's INT8 engine
-            # build flag, ssd.py:76-83)
-            from .models.quantize import QuantizedModule
-            self.module = QuantizedModule(self.module)
+            # build flag, ssd.py:76-83); calib_cache adds calibrated
+            # activation fake-quant (calibrator.py:59-67's cache)
+            from .models.quantize import QuantizedModule, load_act_ranges
+            self.module = QuantizedModule(
+                self.module, act_ranges=load_act_ranges(calib_cache))
             self.params = self.module.quantize(self.params)
         self._decode_heads = decode_heads
 

@@ -123,7 +123,8 @@ class FeatureExtractor:
     """Extracts ReID embeddings for detected boxes
     (feature_extractor.py:11-98)."""
 
-    def __init__(self, model='OSNet025', batch_size=16, quantize=None):
+    def __init__(self, model='OSNet025', batch_size=16, quantize=None,
+                 calib_cache=None):
         self.model = registry.ReIDModel.get_model(model)
         assert batch_size >= 1
         self.batch_size = batch_size  # kept for config parity; batching is
@@ -135,9 +136,13 @@ class FeatureExtractor:
         if quantize == 'int8':
             # int8 weight path (role of the reference's INT8 engines,
             # ssd.py:76-83): wrap the module so the existing fused
-            # kernels run with int8-stored weights dequantized in-graph
-            from .models.quantize import QuantizedModule
-            self.module = QuantizedModule(self.module)
+            # kernels run with int8-stored weights dequantized in-graph.
+            # calib_cache (reference calibrator.py:59-67's calibration
+            # cache) additionally fake-quantizes activations at their
+            # KL-calibrated clip thresholds.
+            from .models.quantize import QuantizedModule, load_act_ranges
+            self.module = QuantizedModule(
+                self.module, act_ranges=load_act_ranges(calib_cache))
             self.params = self.module.quantize(self.params)
         c, h, w = self.model.INPUT_SHAPE
         self._out_hw = (h, w)

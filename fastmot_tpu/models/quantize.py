@@ -83,6 +83,16 @@ def make_quantized_apply(module, params):
     return apply_fn, (q_params, scales)
 
 
+def fake_quant(x, thresh: float):
+    """Symmetric int8 fake-quantization at a calibrated clip threshold:
+    clip to [-t, t], quantize to 255 levels, dequantize — in-graph, so
+    XLA fuses the clamp/round into neighbouring elementwise work. This
+    models what the reference's calibrated INT8 engines did to every
+    activation tensor (calibrator.py:8-67 feeding the builder)."""
+    s = thresh / 127.0
+    return jnp.round(jnp.clip(x, -thresh, thresh) / s) * s
+
+
 class QuantizedModule:
     """Drop-in ``module`` replacement whose params are int8 + scales.
 
@@ -92,24 +102,56 @@ class QuantizedModule:
     module as a jit static argument — this is how the pipeline-level
     ``quantize: "int8"`` config knob plugs into the existing fused
     detector/extractor kernels without changing them.
+
+    ``act_ranges`` (from ``EntropyCalibrator.compute_ranges``/``load``,
+    keyed by module path, e.g. ``ConvBN_3``) additionally fake-quantizes every calibrated
+    submodule output at its KL-optimal threshold via a Flax method
+    interceptor — the calibrated-activation half of the reference's
+    INT8 engine builds.
     """
 
-    def __init__(self, module):
+    def __init__(self, module, act_ranges: dict | None = None):
         self.module = module
+        if act_ranges:
+            act_ranges = {k: float(v) for k, v in act_ranges.items()
+                          if v > 0}
+        self.act_ranges = None if not act_ranges else \
+            tuple(sorted(act_ranges.items()))
 
     def quantize(self, params):
         return quantize_params_int8(params)
 
     def apply(self, q_state, x):
         qp, sc = q_state
-        return self.module.apply(dequantize_params(qp, sc), x)
+        params = dequantize_params(qp, sc)
+        if self.act_ranges is None:
+            return self.module.apply(params, x)
+        import flax.linen as nn
+        ranges = dict(self.act_ranges)
+
+        def interceptor(next_fun, args, kwargs, context):
+            out = next_fun(*args, **kwargs)
+            # quantize submodule activations only; the root output stays
+            # float, like a TRT engine's network outputs
+            if context.method_name != '__call__' or not context.module.path:
+                return out
+            # EntropyCalibrator keys ranges by the module path
+            # ('Block_0/Conv_1'), matching capture_intermediates' tree
+            t = ranges.get('/'.join(context.module.path))
+            if t is not None and isinstance(out, jax.Array):
+                out = fake_quant(out, t)
+            return out
+
+        with nn.intercept_methods(interceptor):
+            return self.module.apply(params, x)
 
     def __hash__(self):
-        return hash(('int8', self.module))
+        return hash(('int8', self.module, self.act_ranges))
 
     def __eq__(self, other):
         return isinstance(other, QuantizedModule) and \
-            self.module == other.module
+            self.module == other.module and \
+            self.act_ranges == other.act_ranges
 
 
 # ---------------------------------------------------------------------------
@@ -127,21 +169,21 @@ def kl_threshold(hist: np.ndarray, bin_edges: np.ndarray,
     best_kl = np.inf
     best_t = bin_edges[-1]
     n = len(hist)
+    hist = hist.astype(np.float64)
+    tail = np.concatenate([np.cumsum(hist[::-1])[::-1], [0.0]])
     for i in range(num_quant_bins, n + 1):
-        ref = hist[:i].astype(np.float64).copy()
-        outliers = hist[i:].sum()
-        ref[i - 1] += outliers           # fold the tail into the last bin
+        ref = hist[:i].copy()
+        ref[i - 1] += tail[i]            # fold the tail into the last bin
         p = ref / ref.sum()
-        # quantize the first i bins to num_quant_bins levels
-        factor = i / num_quant_bins
-        q = np.zeros(i)
-        for j in range(num_quant_bins):
-            lo = int(np.floor(j * factor))
-            hi = max(int(np.floor((j + 1) * factor)), lo + 1)
-            chunk = ref[lo:hi]
-            nz = (chunk > 0).sum()
-            if nz:
-                q[lo:hi] = np.where(chunk > 0, chunk.sum() / nz, 0)
+        # re-bin the first i bins to num_quant_bins levels: each level j
+        # covers ref[floor(j*i/K) : floor((j+1)*i/K)] and spreads its mass
+        # evenly over that chunk's NONZERO bins (TensorRT semantics)
+        bounds = (np.arange(num_quant_bins + 1) * i) // num_quant_bins
+        sums = np.add.reduceat(ref, bounds[:-1])
+        nz = np.add.reduceat((ref > 0).astype(np.float64), bounds[:-1])
+        avg = np.divide(sums, nz, out=np.zeros_like(sums), where=nz > 0)
+        q = np.repeat(avg, np.diff(bounds))
+        q = np.where(ref > 0, q, 0.0)
         qs = q.sum()
         if qs == 0:
             continue
@@ -174,10 +216,12 @@ class EntropyCalibrator:
         self._absmax: dict[str, float] = {}
         self._hists: dict[str, np.ndarray] = {}
         self._batches: list[np.ndarray] = []
+        self._ranges: dict[str, float] | None = None
+        self._apply = jax.jit(lambda p, x: self.module.apply(
+            p, x, capture_intermediates=True, mutable=['intermediates']))
 
     def _intermediates(self, x):
-        _, state = self.module.apply(
-            self.params, x, capture_intermediates=True, mutable=['intermediates'])
+        _, state = self._apply(self.params, x)
         flat = {}
 
         def walk(d, prefix):
@@ -185,8 +229,12 @@ class EntropyCalibrator:
                 if isinstance(v, dict):
                     walk(v, f'{prefix}/{k}' if prefix else k)
                 else:
-                    flat[prefix or k] = np.asarray(v[0]) \
-                        if isinstance(v, tuple) else np.asarray(v)
+                    # float32 copy: bf16 trunks yield ml_dtypes.bfloat16
+                    # arrays, which np.histogram cannot bin (segfaults);
+                    # and np.asarray of a CPU jax.Array is a zero-copy
+                    # view whose buffer dies with the pytree
+                    a = v[0] if isinstance(v, tuple) else v
+                    flat[prefix or k] = np.array(a, dtype=np.float32)
 
         walk(state['intermediates'], '')
         return flat
@@ -194,8 +242,11 @@ class EntropyCalibrator:
     def observe(self, batch):
         """Accumulate a calibration batch (two-pass: ranges then hists)."""
         self._batches.append(np.asarray(batch))
+        self._ranges = None
 
     def compute_ranges(self) -> dict[str, float]:
+        if self._ranges is not None:
+            return self._ranges
         # pass 1: absolute ranges
         for b in self._batches:
             for name, act in self._intermediates(jnp.asarray(b)).items():
@@ -217,6 +268,7 @@ class EntropyCalibrator:
         for name, h in self._hists.items():
             edges = np.linspace(0, self._absmax[name], self.num_bins + 1)
             ranges[name] = kl_threshold(h, edges[1:])
+        self._ranges = ranges
         return ranges
 
     def save(self, path):
@@ -225,3 +277,17 @@ class EntropyCalibrator:
     @staticmethod
     def load(path) -> dict[str, float]:
         return json.loads(Path(path).read_text())
+
+
+def load_act_ranges(calib_cache) -> dict[str, float] | None:
+    """Load a calibration cache written by ``EntropyCalibrator.save``;
+    None (no activation quantization) when no path was configured or the
+    file does not exist yet — mirroring how the reference's calibrator
+    fell back to running calibration when its cache was absent
+    (calibrator.py:59-67)."""
+    if calib_cache is None:
+        return None
+    p = Path(calib_cache)
+    if not p.exists():
+        return None
+    return EntropyCalibrator.load(p)

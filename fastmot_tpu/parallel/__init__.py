@@ -1,1 +1,1 @@
-from .streams import MultiStreamPipeline, make_stream_mesh  # noqa: F401
+from .streams import conv_channel_shardings, make_stream_mesh  # noqa: F401

@@ -1,4 +1,4 @@
-"""Multi-stream scale-out over a TPU mesh.
+"""Multi-stream / multi-chip mesh utilities.
 
 The reference is single-GPU (SURVEY.md section 2.3); its BASELINE config 5
 ("8x 1080p streams batched per chip") is the scaling story here. Streams
@@ -7,21 +7,18 @@ are embarrassingly parallel, so the natural mesh layout is:
   * ``streams`` axis — data parallelism: each chip (or chip group)
     processes a shard of the stream batch. No cross-chip collectives in
     the frame loop; shardings ride ICI only at the edges.
-  * ``model`` axis — optional tensor parallelism inside the detector /
-    ReID networks for large models (e.g. YOLOv4-P6 at 1280x1280): conv
-    channels and dense features are sharded and XLA inserts psum/
-    all-gathers as needed.
-
-``MultiStreamPipeline`` jits a per-frame step function over a
-``jax.sharding.Mesh`` with NamedShardings on the leading stream axis; the
-same code compiles for 1 chip (mesh of one) and a pod slice.
+    ``MultiStreamMOT(..., mesh=make_stream_mesh(...))`` is the consumer.
+  * ``model`` axis — tensor parallelism inside the detector / ReID
+    networks for large models (e.g. YOLOv4-P6 at 1280x1280):
+    ``conv_channel_shardings`` shards every conv/dense kernel's output
+    channels (and the matching per-channel vectors) over the axis, and
+    XLA's SPMD partitioner inserts the all-gathers/psums the conv chain
+    needs. Exercised by ``__graft_entry__.dryrun_multichip`` and
+    ``tests/test_parallel.py::test_conv_channel_tensor_parallelism``.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -36,30 +33,35 @@ def make_stream_mesh(devices=None, model_parallel: int = 1) -> Mesh:
     return Mesh(arr, ('streams', 'model'))
 
 
-class MultiStreamPipeline:
-    """Shards a batched per-frame step over the stream axis of a mesh.
+def conv_channel_shardings(params, mesh: Mesh, axis: str = 'model'):
+    """NamedSharding pytree for output-channel tensor parallelism.
 
-    ``step_fn(params, frames, state) -> (outputs, state)`` must be pure and
-    accept a leading batch (stream) axis on ``frames`` and ``state``.
+    Every conv/dense ``kernel`` (ndim >= 2) whose output-channel (last)
+    axis divides the mesh's ``axis`` size is sharded on that axis; the
+    per-channel 1-D vectors that ride along (conv bias, BN scale/bias and
+    running stats — all shaped ``[filters]``) shard the same way so each
+    device holds exactly its channel slice of the whole layer. Everything
+    else is replicated. Passing the result as ``jit in_shardings`` (or
+    ``device_put``-ing params with it) is the whole TP story: XLA's SPMD
+    partitioner propagates the channel sharding through the conv chain
+    and inserts the collectives (scaling-book recipe — annotate, let XLA
+    insert collectives).
+
+    Replaces the reference's single-GPU assumption (SURVEY.md 2.3); use
+    for models too big or too slow for one chip (YOLOv4-P6 at 1280^2).
     """
+    k = mesh.shape[axis]
 
-    def __init__(self, mesh: Mesh, step_fn, params,
-                 params_spec=P()):
-        self.mesh = mesh
-        self.step_fn = step_fn
-        stream_sharding = NamedSharding(mesh, P('streams'))
-        param_sharding = NamedSharding(mesh, params_spec)
-        self.params = jax.device_put(params, param_sharding)
-        self._jitted = jax.jit(
-            step_fn,
-            in_shardings=(param_sharding, stream_sharding, stream_sharding),
-            out_shardings=(stream_sharding, stream_sharding),
-        )
+    def spec(path, leaf):
+        shape = getattr(leaf, 'shape', ())
+        names = [str(getattr(p, 'key', p)) for p in path]
+        leafname = names[-1] if names else ''
+        if leafname == 'kernel' and len(shape) >= 2 and shape[-1] % k == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        if leafname in ('bias', 'scale', 'mean', 'var') \
+                and len(shape) == 1 and shape[0] % k == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
 
-    def step(self, frames, state):
-        """Run one synchronized step for all streams."""
-        return self._jitted(self.params, frames, state)
-
-    @property
-    def num_streams_per_device(self):
-        return self.mesh.shape['streams']
+    return jax.tree_util.tree_map_with_path(spec, params)
