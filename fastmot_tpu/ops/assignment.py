@@ -75,7 +75,9 @@ def auction_lap(cost: jax.Array,
     # they settle one per round (O(n) rounds/phase); with distinct
     # preferences they spread across free columns and settle in a few
     # rounds. Total distortion <= n * _BIAS, folded into the tolerance.
-    _BIAS = 1e-4
+    # Scaled with eps_final so tight-tolerance solves (the parity
+    # oracle's 1e-4) keep the pre-assignment eps-CS invariant below.
+    _BIAS = min(1e-4, 0.25 * eps_final)
     assert eps_final > _BIAS, 'pre-assignment eps-CS needs eps > bias'
     ii = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 0)
     jj = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 1)

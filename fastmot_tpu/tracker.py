@@ -484,11 +484,15 @@ def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
 
 
 def _stage_core(exclude_matched: bool, cost, base_mask, u_det,
-                col4row_final):
-    """One auction stage: solve, absorb matches, consume detections."""
+                col4row_final, eps: float = 1e-2):
+    """One auction stage: solve, absorb matches, consume detections.
+
+    ``eps`` is the auction's final tolerance (see the eps_final comment
+    in _cascade_stages); the association parity oracle runs the cascade
+    at 1e-4 so near-tie tie-breaks cannot mask semantic divergence."""
     row_valid = base_mask & (col4row_final < 0) if exclude_matched \
         else base_mask
-    _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=1e-2)
+    _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=eps)
     matched = (c4r >= 0) & row_valid
     col4row_final = jnp.where(matched, c4r, col4row_final)
     taken = jnp.zeros_like(u_det).at[
@@ -524,8 +528,8 @@ _assoc_costs_kernel = partial(jax.jit, static_argnames=(
     'iou_gate', 'fill_val', 'occlusion_thresh',
     'confirm_hits'))(_assoc_costs_core)
 
-_stage_kernel = partial(jax.jit,
-                        static_argnames=('exclude_matched',))(_stage_core)
+_stage_kernel = partial(jax.jit, static_argnames=(
+    'exclude_matched', 'eps'))(_stage_core)
 
 _finals_kernel = partial(jax.jit, static_argnames=(
     'conf_thresh', 'max_reid_cost', 'dup_gate',
@@ -836,7 +840,8 @@ class MultiTracker:
                  confirm_hits=1,
                  history_size=50,
                  kalman_filter_cfg=None,
-                 flow_cfg=None):
+                 flow_cfg=None,
+                 assoc_eps=1e-2):
         self.size = size
         self.metric = metric if isinstance(metric, dist.Metric) \
             else dist.Metric[str(metric).upper()]
@@ -863,6 +868,10 @@ class MultiTracker:
         assert history_size >= 0
         self.history_size = history_size
         self._hist_cap = _bucket(max(history_size, 1))
+        # auction tolerance: 1e-2 in production (see _cascade_stages);
+        # the parity oracle passes 1e-4 to pin exact-optimum tie-breaks
+        assert 0 < assoc_eps <= 1
+        self.assoc_eps = float(assoc_eps)
 
         self.kf_cfg = KalmanConfig(**_cfg_kwargs(kalman_filter_cfg))
         self.tracks: dict[int, Track] = {}
@@ -1022,11 +1031,14 @@ class MultiTracker:
                 emb_dev)
         for d in range(n_depth):
             u_det, col4row = _stage_kernel(
-                False, cost, depth_masks[d], u_det, col4row)
+                False, cost, depth_masks[d], u_det, col4row,
+                eps=self.assoc_eps)
         u_det, col4row = _stage_kernel(
-            True, iou_cost, base_iou_active, u_det, col4row)
+            True, iou_cost, base_iou_active, u_det, col4row,
+            eps=self.assoc_eps)
         u_det, col4row = _stage_kernel(
-            False, iou_cost, base_unconf, u_det, col4row)
+            False, iou_cost, base_unconf, u_det, col4row,
+            eps=self.assoc_eps)
         new_state, new_hist, info = _finals_commit_kernel(
             self.kf_cfg, self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
