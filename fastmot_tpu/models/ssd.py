@@ -11,8 +11,9 @@ postprocessing consumes: per-image TOPK rows of
 ``[image_id, label, conf, xmin, ymin, xmax, ymax]`` normalized to [0, 1]
 (detector.py:156-178).
 
-Weights are random unless a converted .npz exists (registry.py) — the
-architecture and compute path are complete either way.
+Weights are random unless a converted .npz exists (registry.py); all
+three backbones are layer-exact to the TF OD API graphs the reference
+ships, so the released ssd_*_coco.pb files convert via ssd_convert.
 """
 from __future__ import annotations
 
@@ -29,6 +30,9 @@ class ConvBNReLU6(nn.Module):
     kernel: int = 3
     stride: int = 1
     depthwise: bool = False
+    # the TF OD API configs these checkpoints were trained from set
+    # batch_norm epsilon 0.001 in conv_hyperparams
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x):
@@ -41,7 +45,8 @@ class ConvBNReLU6(nn.Module):
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         (self.stride, self.stride), padding='SAME',
                         use_bias=False, dtype=jnp.bfloat16)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps,
+                         dtype=jnp.float32)(x)
         return jnp.minimum(nn.relu(x), 6.0)
 
 
@@ -105,35 +110,91 @@ class MobileNetV2Backbone(nn.Module):
         return c, x
 
 
+# TF-slim inception_v2 block table (slim/nets/inception_v2.py, the trunk
+# inside the reference's ssd_inception_v2_coco.pb). Each row: block name,
+# branch depths. Normal blocks: Branch_0 1x1, Branch_1 1x1->3x3,
+# Branch_2 1x1->3x3->3x3 (both 3x3 at the same depth), Branch_3
+# pool->1x1. Reduction blocks ('red'): Branch_0 1x1->3x3(s2), Branch_1
+# 1x1->3x3->3x3(s2), Branch_2 max-pool(s2), no pool-projection branch.
+# Module names are the TF layer paths with '/' -> '__' so the converter
+# maps 1:1 (ssd_convert.convert_frozen_graph).
+INCEPTION_V2_BLOCKS = (
+    ('Mixed_3b', {'b0': 64, 'b1': (64, 64), 'b2': (64, 96),
+                  'pool': ('avg', 32)}),
+    ('Mixed_3c', {'b0': 64, 'b1': (64, 96), 'b2': (64, 96),
+                  'pool': ('avg', 64)}),
+    ('Mixed_4a', {'red': True, 'b0': (128, 160), 'b1': (64, 96)}),
+    ('Mixed_4b', {'b0': 224, 'b1': (64, 96), 'b2': (96, 128),
+                  'pool': ('avg', 128)}),
+    ('Mixed_4c', {'b0': 192, 'b1': (96, 128), 'b2': (96, 128),
+                  'pool': ('avg', 128)}),
+    ('Mixed_4d', {'b0': 160, 'b1': (128, 160), 'b2': (128, 160),
+                  'pool': ('avg', 96)}),
+    ('Mixed_4e', {'b0': 96, 'b1': (128, 192), 'b2': (160, 192),
+                  'pool': ('avg', 96)}),
+    ('Mixed_5a', {'red': True, 'b0': (128, 192), 'b1': (192, 256)}),
+    ('Mixed_5b', {'b0': 352, 'b1': (192, 320), 'b2': (160, 224),
+                  'pool': ('avg', 128)}),
+    ('Mixed_5c', {'b0': 352, 'b1': (192, 320), 'b2': (192, 224),
+                  'pool': ('max', 128)}),
+)
+
+
 class InceptionV2Backbone(nn.Module):
-    """Simplified Inception-V2 trunk producing the two SSD source scales."""
+    """Layer-exact TF-slim inception_v2 trunk; the SSD source scales are
+    Mixed_4c (19x19, 576ch) and Mixed_5c (10x10, 1024ch) as in the OD
+    API's ssd_inception_v2_feature_extractor."""
 
     @nn.compact
     def __call__(self, x):
-        def inception(x, b0, b1a, b1b, b2a, b2b, pool):
-            br0 = ConvBNReLU6(b0, 1)(x)
-            br1 = ConvBNReLU6(b1b, 3)(ConvBNReLU6(b1a, 1)(x))
-            br2 = ConvBNReLU6(b2b, 3)(ConvBNReLU6(b2b, 3)(
-                ConvBNReLU6(b2a, 1)(x)))
-            br3 = ConvBNReLU6(pool, 1)(
-                nn.avg_pool(x, (3, 3), (1, 1), padding='SAME'))
+        def cbr(x, feats, k, name, stride=1):
+            return ConvBNReLU6(feats, k, stride, name=name)(x)
+
+        def block(x, name, spec):
+            if spec.get('red'):
+                a0, a1 = spec['b0']
+                br0 = cbr(x, a0, 1, f'{name}__Branch_0__Conv2d_0a_1x1')
+                br0 = cbr(br0, a1, 3, f'{name}__Branch_0__Conv2d_1a_3x3', 2)
+                c0, c1 = spec['b1']
+                br1 = cbr(x, c0, 1, f'{name}__Branch_1__Conv2d_0a_1x1')
+                br1 = cbr(br1, c1, 3, f'{name}__Branch_1__Conv2d_0b_3x3')
+                br1 = cbr(br1, c1, 3, f'{name}__Branch_1__Conv2d_1a_3x3', 2)
+                br2 = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
+                return jnp.concatenate([br0, br1, br2], axis=-1)
+            br0 = cbr(x, spec['b0'], 1, f'{name}__Branch_0__Conv2d_0a_1x1')
+            c0, c1 = spec['b1']
+            br1 = cbr(x, c0, 1, f'{name}__Branch_1__Conv2d_0a_1x1')
+            br1 = cbr(br1, c1, 3, f'{name}__Branch_1__Conv2d_0b_3x3')
+            d0, d1 = spec['b2']
+            br2 = cbr(x, d0, 1, f'{name}__Branch_2__Conv2d_0a_1x1')
+            br2 = cbr(br2, d1, 3, f'{name}__Branch_2__Conv2d_0b_3x3')
+            br2 = cbr(br2, d1, 3, f'{name}__Branch_2__Conv2d_0c_3x3')
+            kind, depth = spec['pool']
+            pool = nn.avg_pool if kind == 'avg' else nn.max_pool
+            br3 = pool(x, (3, 3), (1, 1), padding='SAME')
+            br3 = cbr(br3, depth, 1, f'{name}__Branch_3__Conv2d_0b_1x1')
             return jnp.concatenate([br0, br1, br2, br3], axis=-1)
 
-        x = ConvBNReLU6(64, 7, 2)(x)
+        # stem: slim separable_conv2d(64, 7x7, depth_multiplier=8, s2) —
+        # the depthwise half ([7,7,3,8]) is run as a dense [7,7,3,24]
+        # conv with the off-diagonal taps zero (exact, MXU-friendly; the
+        # converter embeds the released depthwise_weights accordingly),
+        # BN+activation apply after the pointwise only (slim semantics)
+        x = nn.Conv(24, (7, 7), (2, 2), padding='SAME', use_bias=False,
+                    dtype=jnp.bfloat16,
+                    name='Conv2d_1a_7x7_depthwise')(x)
+        x = cbr(x, 64, 1, 'Conv2d_1a_7x7_pointwise')
         x = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
-        x = ConvBNReLU6(64, 1)(x)
-        x = ConvBNReLU6(192, 3)(x)
+        x = cbr(x, 64, 1, 'Conv2d_2b_1x1')
+        x = cbr(x, 192, 3, 'Conv2d_2c_3x3')
         x = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
-        x = inception(x, 64, 64, 64, 64, 96, 32)
-        x = inception(x, 64, 64, 96, 64, 96, 64)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
-        for _ in range(4):
-            x = inception(x, 224, 64, 96, 96, 128, 128)
-        c4 = x                               # 19x19
-        x = nn.max_pool(x, (3, 3), (2, 2), padding='SAME')
-        x = inception(x, 352, 192, 320, 160, 224, 128)
-        x = inception(x, 352, 192, 320, 192, 224, 128)
-        return c4, x                         # 10x10
+
+        c_mid = None
+        for name, spec in INCEPTION_V2_BLOCKS:
+            x = block(x, name, spec)
+            if name == 'Mixed_4c':
+                c_mid = x                    # 19x19, 576
+        return c_mid, x                      # 10x10, 1024
 
 
 class SSDHead(nn.Module):

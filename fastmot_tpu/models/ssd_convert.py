@@ -9,6 +9,9 @@ dependency) and mapped STRUCTURALLY onto the Flax SSDNet tree:
   trunk    MobilenetV1: Conv2d_0 + Conv2d_{i}_{depthwise,pointwise}
            MobilenetV2: Conv + expanded_conv{,_i}/{expand,depthwise,
            project} + Conv_1
+           InceptionV2: separable stem (depthwise_weights zero-embedded
+           into a dense kernel) + Conv2d_2b/2c + the Mixed_3b..5c block
+           table (ssd.INCEPTION_V2_BLOCKS, layer-exact to TF slim)
   extras   feature_map_generators naming: ``*_1_Conv2d_{n}_1x1_{c}`` /
            ``*_2_Conv2d_{n}_3x3_s2_{c}`` (discovered by regex, ordered
            by n — robust to the per-backbone base-name prefix)
@@ -18,9 +21,8 @@ TF conv kernels are already HWIO; depthwise kernels are [H, W, C, 1] ->
 our DepthwiseConv3x3 [H, W, 1, C]. Every mapped tensor is shape-checked
 against the model tree and the result is verified by a strict load, so a
 frozen graph from a different architecture revision fails loudly with
-the offending tensor name (the InceptionV2 trunk here is documented as
-simplified — converting ssd_inception_v2_coco.pb raises until the trunk
-is made layer-exact).
+the offending tensor name. A BatchNorm gamma absent from the graph
+(slim batch_norm scale=False trunks) maps to ones.
 """
 from __future__ import annotations
 
@@ -80,11 +82,7 @@ class _Mapper:
             self.flat[bpath] = self._tf(f'{tf_layer}/biases',
                                         self._leaf_shape(bpath))
         else:
-            for ours, tf in _BN_SUFFIX.items():
-                top = 'params' if ours in ('scale', 'bias') else 'batch_stats'
-                path = f'{top}/{flax_mod}/BatchNorm_0/{ours}'
-                self.flat[path] = self._tf(f'{tf_layer}/BatchNorm/{tf}',
-                                           self._leaf_shape(path))
+            self.bn(tf_layer, flax_mod)
 
     def conv_at(self, tf_layer, flax_mod):
         """Conv + BN whose Conv_0/BatchNorm_0 live directly on
@@ -92,11 +90,20 @@ class _Mapper:
         kpath = f'params/{flax_mod}/Conv_0/kernel'
         self.flat[kpath] = self._tf(f'{tf_layer}/weights',
                                     self._leaf_shape(kpath))
+        self.bn(tf_layer, flax_mod)
+
+    def bn(self, tf_layer, flax_mod):
+        """BatchNorm-only mapping; a missing gamma (slim batch_norm
+        scale=False trunks) maps to ones."""
         for ours, tf in _BN_SUFFIX.items():
             top = 'params' if ours in ('scale', 'bias') else 'batch_stats'
             path = f'{top}/{flax_mod}/BatchNorm_0/{ours}'
-            self.flat[path] = self._tf(f'{tf_layer}/BatchNorm/{tf}',
-                                       self._leaf_shape(path))
+            name = f'{tf_layer}/BatchNorm/{tf}'
+            if ours == 'scale' and name not in self.consts:
+                self.flat[path] = np.ones(self._leaf_shape(path),
+                                          np.float32)
+                continue
+            self.flat[path] = self._tf(name, self._leaf_shape(path))
 
     def raw_conv(self, tf_layer, flax_conv_path):
         """A bare nn.Conv (predictor): weights + biases."""
@@ -165,10 +172,43 @@ def convert_frozen_graph(consts, params, backbone):
             m.conv_at(f'{blk}/project', flax_blk)
         m.conv(f'{pre}/Conv_1', f'{bb}/ConvBNReLU6_1')
     elif backbone == 'inception_v2':
-        raise NotImplementedError(
-            'the InceptionV2 trunk here is a documented simplification '
-            '(models/ssd.py) — layer-exact conversion requires matching '
-            'the TF slim inception_v2 block structure first')
+        from .ssd import INCEPTION_V2_BLOCKS
+        bb = 'InceptionV2Backbone_0'
+        pre = 'FeatureExtractor/InceptionV2'
+        # stem separable 7x7: the released depthwise_weights [7,7,3,8]
+        # embed into the model's dense [7,7,3,24] kernel with the
+        # cross-channel taps zero (exact; see InceptionV2Backbone)
+        kpath = f'params/{bb}/Conv2d_1a_7x7_depthwise/kernel'
+        h, w, cin, cout = m._leaf_shape(kpath)
+        mult = cout // cin
+        dw = m._tf(f'{pre}/Conv2d_1a_7x7/depthwise_weights',
+                   (h, w, cin, mult))
+        dense = np.zeros((h, w, cin, cout), np.float32)
+        for i in range(cin):
+            dense[:, :, i, i * mult:(i + 1) * mult] = dw[:, :, i, :]
+        m.flat[kpath] = dense
+        pw = f'{bb}/Conv2d_1a_7x7_pointwise'
+        kpath = f'params/{pw}/Conv_0/kernel'
+        m.flat[kpath] = m._tf(f'{pre}/Conv2d_1a_7x7/pointwise_weights',
+                              m._leaf_shape(kpath))
+        m.bn(f'{pre}/Conv2d_1a_7x7', pw)
+        m.conv(f'{pre}/Conv2d_2b_1x1', f'{bb}/Conv2d_2b_1x1')
+        m.conv(f'{pre}/Conv2d_2c_3x3', f'{bb}/Conv2d_2c_3x3')
+        for name, spec in INCEPTION_V2_BLOCKS:
+            if spec.get('red'):
+                branches = [('Branch_0', ['Conv2d_0a_1x1', 'Conv2d_1a_3x3']),
+                            ('Branch_1', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3',
+                                          'Conv2d_1a_3x3'])]
+            else:
+                branches = [('Branch_0', ['Conv2d_0a_1x1']),
+                            ('Branch_1', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3']),
+                            ('Branch_2', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3',
+                                          'Conv2d_0c_3x3']),
+                            ('Branch_3', ['Conv2d_0b_1x1'])]
+            for br, convs in branches:
+                for cname in convs:
+                    m.conv(f'{pre}/{name}/{br}/{cname}',
+                           f'{bb}/{name}__{br}__{cname}')
     else:
         raise ValueError(backbone)
     _map_head(m, consts, head='SSDHead_0')

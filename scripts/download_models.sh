@@ -36,8 +36,7 @@ python3 scripts/convert_weights.py osnet --ckpt "$DL/osnet_x0_25_msmt17.onnx" --
 python3 scripts/convert_weights.py onnx  --onnx "$DL/yolov4_crowdhuman.onnx" --model YOLOv4
 python3 scripts/convert_weights.py ssd   --pb "$DL/ssd_mobilenet_v1_coco.pb" --model SSDMobileNetV1
 python3 scripts/convert_weights.py ssd   --pb "$DL/ssd_mobilenet_v2_coco.pb" --model SSDMobileNetV2
-# SSDInceptionV2: converter raises until the simplified trunk is made
-# layer-exact (fastmot_tpu/models/ssd_convert.py docstring).
+python3 scripts/convert_weights.py ssd   --pb "$DL/ssd_inception_v2_coco.pb" --model SSDInceptionV2
 
 # --- stock Darknet zoo (optional) -----------------------------------------
 DARKNET=https://github.com/AlexeyAB/darknet/releases/download

@@ -267,10 +267,131 @@ def test_ssd_frozen_graph_missing_raises():
         convert_frozen_graph(consts, params, cls.BACKBONE)
 
 
-def test_ssd_inception_conversion_unimplemented():
+def _inception_consts(params, with_gamma=True):
+    """Synthesize ssd_inception_v2_coco.pb's Const dict from a live param
+    tree by inverting the converter (TF slim layer names)."""
+    from fastmot_tpu.models.ssd import INCEPTION_V2_BLOCKS
+
+    flat = _flat_paths(params)
+    bb = 'InceptionV2Backbone_0'
+    pre = 'FeatureExtractor/InceptionV2'
+    consts = {}
+
+    def put(tf_layer, mod):
+        consts[f'{tf_layer}/weights'] = flat[f'params/{mod}/Conv_0/kernel']
+        for tf, ours, top in (('gamma', 'scale', 'params'),
+                              ('beta', 'bias', 'params'),
+                              ('moving_mean', 'mean', 'batch_stats'),
+                              ('moving_variance', 'var', 'batch_stats')):
+            if tf == 'gamma' and not with_gamma:
+                continue
+            consts[f'{tf_layer}/BatchNorm/{tf}'] = \
+                flat[f'{top}/{mod}/BatchNorm_0/{ours}']
+
+    # stem: extract the depthwise taps out of the dense [7,7,3,24] kernel
+    dense = flat[f'params/{bb}/Conv2d_1a_7x7_depthwise/kernel']
+    h, w, cin, cout = dense.shape
+    mult = cout // cin
+    dw = np.stack([dense[:, :, i, i * mult:(i + 1) * mult]
+                   for i in range(cin)], axis=2)
+    consts[f'{pre}/Conv2d_1a_7x7/depthwise_weights'] = dw
+    pw = f'{bb}/Conv2d_1a_7x7_pointwise'
+    consts[f'{pre}/Conv2d_1a_7x7/pointwise_weights'] = \
+        flat[f'params/{pw}/Conv_0/kernel']
+    for tf, ours, top in (('gamma', 'scale', 'params'),
+                          ('beta', 'bias', 'params'),
+                          ('moving_mean', 'mean', 'batch_stats'),
+                          ('moving_variance', 'var', 'batch_stats')):
+        if tf == 'gamma' and not with_gamma:
+            continue
+        consts[f'{pre}/Conv2d_1a_7x7/BatchNorm/{tf}'] = \
+            flat[f'{top}/{pw}/BatchNorm_0/{ours}']
+    put(f'{pre}/Conv2d_2b_1x1', f'{bb}/Conv2d_2b_1x1')
+    put(f'{pre}/Conv2d_2c_3x3', f'{bb}/Conv2d_2c_3x3')
+    for name, spec in INCEPTION_V2_BLOCKS:
+        if spec.get('red'):
+            branches = [('Branch_0', ['Conv2d_0a_1x1', 'Conv2d_1a_3x3']),
+                        ('Branch_1', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3',
+                                      'Conv2d_1a_3x3'])]
+        else:
+            branches = [('Branch_0', ['Conv2d_0a_1x1']),
+                        ('Branch_1', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3']),
+                        ('Branch_2', ['Conv2d_0a_1x1', 'Conv2d_0b_3x3',
+                                      'Conv2d_0c_3x3']),
+                        ('Branch_3', ['Conv2d_0b_1x1'])]
+        for br, convs in branches:
+            for cname in convs:
+                put(f'{pre}/{name}/{br}/{cname}',
+                    f'{bb}/{name}__{br}__{cname}')
+    # extras (feature_map_generators) + predictors, Mixed_5c base name
+    depths = [(256, 512), (128, 256), (128, 256), (64, 128)]
+    for j, (d1, d3) in enumerate(depths):
+        n = j + 2
+        put(f'{pre}/Mixed_5c_1_Conv2d_{n}_1x1_{d1}',
+            f'SSDHead_0/ConvBNReLU6_{2 * j}')
+        put(f'{pre}/Mixed_5c_2_Conv2d_{n}_3x3_s2_{d3}',
+            f'SSDHead_0/ConvBNReLU6_{2 * j + 1}')
+    for i in range(6):
+        for tf_name, ci in (('BoxEncodingPredictor', 2 * i),
+                            ('ClassPredictor', 2 * i + 1)):
+            consts[f'BoxPredictor_{i}/{tf_name}/weights'] = \
+                flat[f'params/SSDHead_0/Conv_{ci}/kernel']
+            consts[f'BoxPredictor_{i}/{tf_name}/biases'] = \
+                flat[f'params/SSDHead_0/Conv_{ci}/bias']
+    return consts
+
+
+@pytest.mark.parametrize('with_gamma', [True, False])
+def test_ssd_inception_frozen_graph_roundtrip(with_gamma, tmp_path):
+    """Layer-exact InceptionV2 conversion (VERDICT r2 component 18):
+    every model leaf covered from TF-slim-named Consts, the separable
+    stem zero-embedded exactly, and slim scale=False trunks (no gamma)
+    tolerated with identity scale."""
     from fastmot_tpu.models.ssd_convert import convert_frozen_graph
-    with pytest.raises(NotImplementedError):
-        convert_frozen_graph({}, {'params': {}}, 'inception_v2')
+
+    cls = registry.SSDModel.get_model('SSDInceptionV2')
+    module = cls.build()
+    params = module.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, 300, 300, 3), jnp.float32))
+    consts = _inception_consts(params, with_gamma=with_gamma)
+    flat = convert_frozen_graph(consts, params, cls.BACKBONE)
+    want = _flat_paths(params)
+    assert set(flat) == set(want), (
+        sorted(set(want) - set(flat))[:5], sorted(set(flat) - set(want))[:5])
+    # the stem depthwise dense embedding keeps cross-channel taps zero
+    dense = flat['params/InceptionV2Backbone_0/Conv2d_1a_7x7_depthwise'
+                 '/kernel']
+    h, w, cin, cout = dense.shape
+    mult = cout // cin
+    for i in range(cin):
+        for j in range(cin):
+            if i != j:
+                assert (dense[:, :, i, j * mult:(j + 1) * mult] == 0).all()
+    if not with_gamma:
+        g = flat['params/InceptionV2Backbone_0/Conv2d_2b_1x1/BatchNorm_0'
+                 '/scale']
+        assert (g == 1.0).all()
+    path = tmp_path / 'SSDInceptionV2.npz'
+    np.savez(path, **flat)
+    loaded = load_npz(params, path, strict=True)
+    got = _flat_paths(loaded)
+    for k in want:
+        np.testing.assert_array_equal(got[k], flat[k], err_msg=k)
+
+
+def test_ssd_inception_missing_tensor_raises():
+    from fastmot_tpu.models.ssd_convert import convert_frozen_graph
+
+    cls = registry.SSDModel.get_model('SSDInceptionV2')
+    module = cls.build()
+    params = module.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, 300, 300, 3), jnp.float32))
+    consts = _inception_consts(params)
+    consts.pop(
+        'FeatureExtractor/InceptionV2/Mixed_4c/Branch_2/Conv2d_0b_3x3'
+        '/weights')
+    with pytest.raises(KeyError, match='Conv2d_0b_3x3'):
+        convert_frozen_graph(consts, params, cls.BACKBONE)
 
 
 def test_graphdef_const_roundtrip_through_wire(tmp_path):
