@@ -215,22 +215,24 @@ def _window_table(img: jax.Array, win: int) -> jax.Array:
         h * w, wide * wide).astype(TAB_DTYPE)
 
 
-def _sample_patch_halo(tab: jax.Array, w: int, h: int, win: int,
-                       x: jax.Array, y: jax.Array) -> jax.Array:
+def _sample_patch_halo(tab: jax.Array, w, h, win: int,
+                       x: jax.Array, y: jax.Array, off=0) -> jax.Array:
     """[P, win+2, win+2] bilinearly interpolated window (value patch +
     1-px gradient halo) at subpixel points, from ONE row gather per
     point on a _window_table. out[i, j] = sample(y - half - 1 + i,
     x - half - 1 + j); the ``win x win`` value patch is the center
-    slice [1:win+1, 1:win+1]."""
+    slice [1:win+1, 1:win+1]. ``w``/``h``/``off`` may be traced scalars:
+    the fused multi-level LK loop selects the pyramid level at runtime,
+    with ``off`` the level's row offset into the CONCATENATED table."""
     wide = win + 3
     inner = win + 2
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
+    x = jnp.clip(x, 0.0, jnp.asarray(w, jnp.float32) - 1.001)
+    y = jnp.clip(y, 0.0, jnp.asarray(h, jnp.float32) - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[:, None, None]
     fy = (y - y0)[:, None, None]
-    rows = jnp.take(tab, y0 * w + x0, axis=0)                # [P, 8*8]
+    rows = jnp.take(tab, off + y0 * w + x0, axis=0)          # [P, 10*10]
     p = rows.shape[0]
     r = rows.reshape(p, wide, wide).astype(jnp.float32)
     p00 = r[:, :inner, :inner]
@@ -251,31 +253,41 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
     the displacement; the result seeds the next finer level. Returns
     (new_pts, status, err) with err = mean |patch difference| as in OpenCV.
 
-    Window sampling goes through per-level window tables (_window_table) so
-    every memory access is a contiguous-row gather; the template's
-    gradients are central differences of the sampled halo patch (bilinear
-    interpolation and the difference operator commute, so this equals
-    sampling a precomputed d/dx image everywhere except the 1-px image
-    border).
+    ``prev_tabs``/``cur_tabs`` are the CONCATENATED per-level window
+    tables (_preprocess_jit), so all levels run inside ONE
+    ``lax.while_loop`` in one small kernel — one dispatch instead of one
+    loop kernel per level, with the level selected at runtime from the
+    loop state (each iteration is either a template build at a freshly
+    entered level or one Gauss-Newton step; every iteration costs one
+    contiguous-row gather either way). Gradients are central differences
+    of the sampled halo patch (bilinear interpolation and the difference
+    operator commute, so this equals sampling a precomputed d/dx image
+    everywhere except the 1-px image border).
     """
     n_levels = len(prev_pyr)
-    g = jnp.zeros_like(pts)          # flow guess from coarser levels
-    err = jnp.zeros(pts.shape[0], jnp.float32)
-    ok = valid
+    n_pts = pts.shape[0]
+    wi = spec.win
+    ww = wi * wi
+    # static per-level geometry -> runtime-indexed vectors
+    dims = [img.shape for img in prev_pyr]                  # [(h, w)]
+    hs = jnp.array([h for h, _ in dims], jnp.int32)
+    ws = jnp.array([w for _, w in dims], jnp.int32)
+    offs = jnp.array(np.cumsum([0] + [h * w for h, w in dims[:-1]]),
+                     jnp.int32)
+    # cv2 criteria (COUNT | EPS): iterate until every point's step falls
+    # below eps or the count cap — typically ~3 rounds/level. The patch
+    # error is tracked INSIDE the loop (at the pre-step position) so no
+    # extra sample is needed after convergence; only level 0's value is
+    # consumed, gated at spec.max_error.
+    eps2 = 0.03 * 0.03
+    zf = jnp.zeros(n_pts, jnp.float32)
+    zb = jnp.zeros(n_pts, bool)
 
-    for level in range(n_levels - 1, -1, -1):
-        h, w = prev_pyr[level].shape
-        scale = 1.0 / (2 ** level)
-        p = pts * scale              # template positions at this level
-
-        val_tab = prev_tabs[level]   # [H*W, (win+3)^2] combined table
-        c_tab = cur_tabs[level]
-
-        px, py = p[:, 0], p[:, 1]
-        n_pts = pts.shape[0]
-        ww = spec.win * spec.win
-        wi = spec.win
-        t_halo = _sample_patch_halo(val_tab, w, h, wi, px, py)
+    def level_template(lvl):
+        scale = jnp.exp2(-lvl.astype(jnp.float32))
+        p = pts * scale
+        t_halo = _sample_patch_halo(prev_tabs, ws[lvl], hs[lvl], wi,
+                                    p[:, 0], p[:, 1], offs[lvl])
         t_patch = t_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
         gx = (0.5 * (t_halo[:, 1:wi + 1, 2:wi + 2]
                      - t_halo[:, 1:wi + 1, 0:wi])).reshape(n_pts, ww)
@@ -289,56 +301,64 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         # G / window area) rejects flat/degenerate windows outright
         min_eig = 0.5 * (gxx + gyy - jnp.sqrt(
             jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy ** 2, 0.0)))
-        inv_ok = min_eig / (spec.win * spec.win) > 1e-4
+        inv_ok = min_eig / float(ww) > 1e-4
         det_safe = jnp.where(det > 1e-12, det, 1.0)
+        return t_patch, gx, gy, gxx, gyy, gxy, det_safe, inv_ok
 
-        # cv2 criteria (COUNT | EPS): iterate until every point's step
-        # falls below eps or the count cap — typically ~3 rounds, and
-        # each round is one gather, the dominant per-frame cost. The
-        # patch error is tracked INSIDE the loop (at the pre-step
-        # position) so no extra sample is needed after convergence; at
-        # convergence the step is < eps so the difference from the
-        # post-step error is negligible against max_error (cv2 reports
-        # the post-step error; only level 0's value is consumed, gated
-        # at spec.max_error=100 intensity units).
-        eps2 = 0.03 * 0.03
+    # loop state: (lvl, fresh, it, v, active, err, ok, templates...)
+    tmpl0 = (jnp.zeros((n_pts, ww)), jnp.zeros((n_pts, ww)),
+             jnp.zeros((n_pts, ww)), zf, zf, zf, jnp.ones(n_pts), zb)
+    state0 = (jnp.int32(n_levels - 1), jnp.bool_(True), jnp.int32(0),
+              jnp.zeros_like(pts), zb, zf, valid, tmpl0)
 
-        def cond(state):
-            v, active, it, err = state
-            return jnp.any(active) & (it < spec.iters)
+    def cond(st):
+        return st[0] >= 0
 
-        def body(state):
-            v, active, it, err = state
-            c_halo = _sample_patch_halo(c_tab, w, h, wi,
-                                        px + v[:, 0], py + v[:, 1])
-            c_patch = c_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
-            diff = t_patch - c_patch
-            err = jnp.where(active,
-                            jnp.mean(jnp.abs(diff), axis=1), err)
-            bx = jnp.sum(diff * gx, axis=1)
-            by = jnp.sum(diff * gy, axis=1)
-            dx = (gyy * bx - gxy * by) / det_safe
-            dy = (gxx * by - gxy * bx) / det_safe
-            # trust region: a Gauss-Newton step larger than the window is
-            # meaningless and catapults the track (observed at borders)
-            step = jnp.clip(jnp.stack([dx, dy], axis=-1),
-                            -float(spec.win), float(spec.win))
-            take = (active & inv_ok)[:, None]
-            v = v + jnp.where(take, step, 0.0)
-            still = jnp.sum(step * step, axis=1) >= eps2
-            return v, active & inv_ok & still, it + 1, err
+    def start_level(st):
+        lvl, _, _, v, _, err, ok, _ = st
+        tmpl = level_template(lvl)
+        return (lvl, jnp.bool_(False), jnp.int32(0), v,
+                jnp.ones(n_pts, bool), err, ok, tmpl)
 
-        v, _, _, err = jax.lax.while_loop(
-            cond, body, (g, jnp.ones(pts.shape[0], dtype=bool), 0,
-                         jnp.zeros(pts.shape[0], jnp.float32)))
-        ok = ok & inv_ok
+    def gn_step(st):
+        lvl, fresh, it, v, active, err, ok, tmpl = st
+        t_patch, gx, gy, gxx, gyy, gxy, det_safe, inv_ok = tmpl
+        scale = jnp.exp2(-lvl.astype(jnp.float32))
+        p = pts * scale
+        c_halo = _sample_patch_halo(cur_tabs, ws[lvl], hs[lvl], wi,
+                                    p[:, 0] + v[:, 0], p[:, 1] + v[:, 1],
+                                    offs[lvl])
+        c_patch = c_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
+        diff = t_patch - c_patch
+        err = jnp.where(active, jnp.mean(jnp.abs(diff), axis=1), err)
+        bx = jnp.sum(diff * gx, axis=1)
+        by = jnp.sum(diff * gy, axis=1)
+        dx = (gyy * bx - gxy * by) / det_safe
+        dy = (gxx * by - gxy * bx) / det_safe
+        # trust region: a Gauss-Newton step larger than the window is
+        # meaningless and catapults the track (observed at borders)
+        step = jnp.clip(jnp.stack([dx, dy], axis=-1),
+                        -float(wi), float(wi))
+        take = (active & inv_ok)[:, None]
+        v = v + jnp.where(take, step, 0.0)
+        still = jnp.sum(step * step, axis=1) >= eps2
+        active = active & inv_ok & still
+        it = it + 1
+        # level complete -> fold the eigen gate into ok, seed the next
+        # finer level (guess doubles except when leaving level 0)
+        done = (~jnp.any(active)) | (it >= spec.iters)
+        ok = jnp.where(done, ok & inv_ok, ok)
+        v = jnp.where(done & (lvl > 0), v * 2.0, v)
+        lvl = jnp.where(done, lvl - 1, lvl)
+        return (lvl, done, it, v, active, err, ok, tmpl)
 
-        if level > 0:
-            g = v * 2.0
-        else:
-            g = v
+    def body(st):
+        return jax.lax.cond(st[1], start_level, gn_step, st)
 
-    new_pts = pts + g
+    st = jax.lax.while_loop(cond, body, state0)
+    v, err, ok = st[3], st[5], st[6]
+
+    new_pts = pts + v
     h0, w0 = cur_pyr[0].shape
     inb = ((new_pts[:, 0] >= 0) & (new_pts[:, 0] <= w0 - 1)
            & (new_pts[:, 1] >= 0) & (new_pts[:, 1] <= h0 - 1))
@@ -585,9 +605,11 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     for _ in range(spec.max_level):
         pyr.append(_downsample2(pyr[-1]))
 
-    # ONE combined f16 window table per level (value + gradient halo):
-    # no gradient images / gradient tables — see _window_table
-    tabs = [_window_table(img, spec.win) for img in pyr]
+    # ONE combined f16 window table (value + gradient halo) for ALL
+    # levels, concatenated along rows so the fused multi-level LK loop
+    # gathers from a single array — see _window_table / lk_pyramidal
+    tabs = jnp.concatenate([_window_table(img, spec.win) for img in pyr],
+                           axis=0)
 
     resp = _shi_tomasi_response(gray)
     cand_pts, cand_score = _grid_candidates(resp, CELL)
@@ -599,7 +621,7 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     bg_scale = jnp.array([spec.bg_scale[0], spec.bg_scale[1]])
     bg_pts_full = bg_pts_s / bg_scale
 
-    return (tuple(pyr), tuple(tabs), cand_pts, cand_score,
+    return (tuple(pyr), tabs, cand_pts, cand_score,
             bg_pts_full, bg_score)
 
 
