@@ -29,6 +29,7 @@ N_FRAMES = 120
 N_OBJECTS = 40
 SIZE = (1280, 720)
 BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
+TRACE_DIR = None     # set via --trace: xplane capture of one pass
 
 # honest self-description of what this workload is NOT (VERDICT r2 weak #1)
 CAVEATS = ('synthetic detections spliced after the real YOLO graph; '
@@ -133,6 +134,16 @@ def main():
     for i in range(N_WARMUP):
         state['i'] = i
         mot.step(frames[i])
+
+    if TRACE_DIR:
+        # one traced pass for xplane kernel accounting (scripts/profile_trace.py)
+        with jax.profiler.trace(TRACE_DIR):
+            mot.reset(1 / 30.0)
+            for i in range(30):
+                state['i'] = i
+                mot.step(frames[N_WARMUP + i])
+            mot.tracker.sync()
+        print('trace written to', TRACE_DIR, file=sys.stderr)
 
     # best of 3 timed passes: the dev tunnel's latency fluctuates minute
     # to minute (measured 34 vs 57 FPS for identical runs); the best pass
@@ -262,9 +273,14 @@ if __name__ == '__main__':
     ap.add_argument('--objects', type=int, default=0,
                     help='override synthetic object count (e.g. 80 for '
                          'the MOT20-density BASELINE config-3 row)')
+    ap.add_argument('--trace', default=None,
+                    help='capture one pass as a jax.profiler xplane trace '
+                         'into this directory (see scripts/profile_trace.py)')
     args = ap.parse_args()
     if args.objects > 0:
         N_OBJECTS = args.objects
+    if args.trace:
+        TRACE_DIR = args.trace
     if args.streams > 1:
         main_streams(args.streams)
     else:

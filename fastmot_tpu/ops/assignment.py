@@ -96,6 +96,18 @@ def auction_lap(cost: jax.Array,
     # _BIAS < eps_final, so the assignment is valid for every phase and
     # they never bid unless a starving real row displaces them.
     finite = sq < _FORBID
+    # Adaptive forbidden level: a starving row (live but outcompeted)
+    # walks real-column prices up by eps-steps until a forbidden column
+    # is preferable — O(forbid/eps) bidding rounds, the auction's
+    # dominant cost on association frames. Any forbidden level strictly
+    # above 2 x the max finite cost preserves the matched set (swapping
+    # one forbidden pair for two real pairs always lowers the total
+    # below that), so the walk is clamped to the tightest safe level for
+    # THIS matrix instead of the worst-case constant. Measured 0.87 ->
+    # 0.4 ms per stage-1 solve (scripts/prof_auction.py).
+    cmax = jnp.max(jnp.where(finite, sq, 0.0))
+    forbid_dyn = jnp.minimum(jnp.float32(_FORBID), 2.0 * cmax + 0.25)
+    benefit = jnp.where(finite, benefit, -forbid_dyn + _BIAS * noise)
     row_live = jnp.any(finite, axis=1)
     col_live = jnp.any(finite, axis=0)
     r_rank = jnp.cumsum(~row_live) - 1
@@ -126,7 +138,10 @@ def auction_lap(cost: jax.Array,
             value = benefit - price[None, :]           # [n, n]
             top1 = jnp.argmax(value, axis=1)           # best object per row
             v1 = jnp.max(value, axis=1)
-            value2 = value.at[idx, top1].set(-jnp.inf)
+            # second-best via a broadcast compare on the column iota —
+            # an [n, n] scatter (.at[idx, top1].set) lowers much worse
+            value2 = jnp.where(jj == top1[:, None].astype(jnp.uint32),
+                               -jnp.inf, value)
             v2 = jnp.max(value2, axis=1)
             # single-object matrices have no second-best: bid the minimum
             # increment instead of an infinite (-> NaN) amount
@@ -166,7 +181,15 @@ def auction_lap(cost: jax.Array,
     # tighter tolerance actually disturbs).
     price = jnp.zeros(n, dtype=jnp.float32)
     owner = owner0
-    eps = jnp.float32(0.5)
+    # Start epsilon scaled to the (clamped) cost range: the walk of any
+    # price war is bounded by forbid_dyn / eps0 = 32 rounds in the first
+    # phase. A fixed coarse eps0 both wastes rounds re-fighting wars at
+    # each scale AND showed rare 800+-round blowups when a fine phase's
+    # eps-CS check unseated many near-tie rows at once (numpy replica,
+    # scripts/prof_auction.py shapes); with eps0 = forbid_dyn/32 the
+    # production cascade solves in ONE phase (final-phase eps stays in
+    # [eps_final, 8*eps_final), the same optimality bound as before).
+    eps = jnp.maximum(jnp.float32(eps_final), forbid_dyn / 32.0)
 
     def scale_cond(state):
         eps, _, _ = state

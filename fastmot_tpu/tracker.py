@@ -523,6 +523,46 @@ def _finals_core(conf_thresh: float, max_reid_cost: float, dup_gate: float,
     return u_det_conf, reid_c4r, rect_c4r
 
 
+def _stages_scan_core(n_depth: int, cost, iou_cost, depth_masks,
+                      base_iou_active, base_unconfirmed, u_det, col4row,
+                      eps: float = 1e-2):
+    """ALL cascade auction stages in one dispatch via ``lax.scan``.
+
+    Mathematically identical to chaining ``_stage_core`` six times. The
+    round-2 negative result (docs/PERFORMANCE.md) was six UNROLLED solver
+    instances in one module — six live while-loop bodies competing for
+    VMEM. A scan compiles ONE solver body and re-enters it per stage, so
+    the loop working set matches the standalone stage kernel while the
+    dispatch count drops from n_depth+2 to 1 (each enqueue costs ~0.8 ms
+    on the dev tunnel's RPC path — the single-stream frame-rate limiter,
+    not the kernels)."""
+    masks = jnp.stack(tuple(depth_masks)
+                      + (base_iou_active, base_unconfirmed))   # [S, T]
+    n_stages = masks.shape[0]
+    # stage s uses the fused appearance+motion cost below n_depth and the
+    # IoU cost above; only stage n_depth (first IoU stage) excludes
+    # already-matched rows (tracker.py:217-227)
+    use_iou = jnp.arange(n_stages) >= n_depth
+    exclude = jnp.arange(n_stages) == n_depth
+
+    def body(carry, xs):
+        u_det, c4r = carry
+        mask, is_iou, excl = xs
+        stage_cost = jnp.where(is_iou, iou_cost, cost)
+        row_valid = mask & jnp.where(excl, c4r < 0,
+                                     jnp.ones_like(mask))
+        _, c = asg.auction_lap(stage_cost, row_valid, u_det, eps_final=eps)
+        matched = (c >= 0) & row_valid
+        c4r = jnp.where(matched, c, c4r)
+        taken = jnp.zeros_like(u_det).at[
+            jnp.where(matched, c, u_det.shape[0])].set(True, mode='drop')
+        return (u_det & ~taken, c4r), None
+
+    (u_det, col4row), _ = jax.lax.scan(
+        body, (u_det, col4row), (masks, use_iou, exclude))
+    return u_det, col4row
+
+
 _assoc_costs_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
     'iou_gate', 'fill_val', 'occlusion_thresh',
@@ -530,6 +570,9 @@ _assoc_costs_kernel = partial(jax.jit, static_argnames=(
 
 _stage_kernel = partial(jax.jit, static_argnames=(
     'exclude_matched', 'eps'))(_stage_core)
+
+_stages_scan_kernel = partial(jax.jit, static_argnames=(
+    'n_depth', 'eps'))(_stages_scan_core)
 
 _finals_kernel = partial(jax.jit, static_argnames=(
     'conf_thresh', 'max_reid_cost', 'dup_gate',
@@ -1029,16 +1072,9 @@ class MultiTracker:
                 st, self._hist_store,
                 d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
                 emb_dev)
-        for d in range(n_depth):
-            u_det, col4row = _stage_kernel(
-                False, cost, depth_masks[d], u_det, col4row,
-                eps=self.assoc_eps)
-        u_det, col4row = _stage_kernel(
-            True, iou_cost, base_iou_active, u_det, col4row,
-            eps=self.assoc_eps)
-        u_det, col4row = _stage_kernel(
-            False, iou_cost, base_unconf, u_det, col4row,
-            eps=self.assoc_eps)
+        u_det, col4row = _stages_scan_kernel(
+            n_depth, cost, iou_cost, depth_masks, base_iou_active,
+            base_unconf, u_det, col4row, eps=self.assoc_eps)
         new_state, new_hist, info = _finals_commit_kernel(
             self.kf_cfg, self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
