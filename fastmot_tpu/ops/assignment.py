@@ -96,18 +96,13 @@ def auction_lap(cost: jax.Array,
     # _BIAS < eps_final, so the assignment is valid for every phase and
     # they never bid unless a starving real row displaces them.
     finite = sq < _FORBID
-    # Adaptive forbidden level: a starving row (live but outcompeted)
-    # walks real-column prices up by eps-steps until a forbidden column
-    # is preferable — O(forbid/eps) bidding rounds, the auction's
-    # dominant cost on association frames. Any forbidden level strictly
-    # above 2 x the max finite cost preserves the matched set (swapping
-    # one forbidden pair for two real pairs always lowers the total
-    # below that), so the walk is clamped to the tightest safe level for
-    # THIS matrix instead of the worst-case constant. Measured 0.87 ->
-    # 0.4 ms per stage-1 solve (scripts/prof_auction.py).
-    cmax = jnp.max(jnp.where(finite, sq, 0.0))
-    forbid_dyn = jnp.minimum(jnp.float32(_FORBID), 2.0 * cmax + 0.25)
-    benefit = jnp.where(finite, benefit, -forbid_dyn + _BIAS * noise)
+    # NOTE on a rejected optimization: clamping the forbidden level
+    # adaptively to ~2 x the max finite cost (to shorten starving-row
+    # price walks) is NOT safe — converting a forbidden pair to finite
+    # can reroute an augmenting path through many real pairs, and the
+    # eps-scaling optimality slack (n * eps_final) can exceed the
+    # tightened margin. The cascade parity fuzz caught it leaving a real
+    # detection on a forbidden column (spurious track creation).
     row_live = jnp.any(finite, axis=1)
     col_live = jnp.any(finite, axis=0)
     r_rank = jnp.cumsum(~row_live) - 1
@@ -139,7 +134,7 @@ def auction_lap(cost: jax.Array,
             top1 = jnp.argmax(value, axis=1)           # best object per row
             v1 = jnp.max(value, axis=1)
             # second-best via a broadcast compare on the column iota —
-            # an [n, n] scatter (.at[idx, top1].set) lowers much worse
+            # an [n, n] one-hot scatter (.at[idx, top1].set) lowers worse
             value2 = jnp.where(jj == top1[:, None].astype(jnp.uint32),
                                -jnp.inf, value)
             v2 = jnp.max(value2, axis=1)
@@ -181,15 +176,13 @@ def auction_lap(cost: jax.Array,
     # tighter tolerance actually disturbs).
     price = jnp.zeros(n, dtype=jnp.float32)
     owner = owner0
-    # Start epsilon scaled to the (clamped) cost range: the walk of any
-    # price war is bounded by forbid_dyn / eps0 = 32 rounds in the first
-    # phase. A fixed coarse eps0 both wastes rounds re-fighting wars at
-    # each scale AND showed rare 800+-round blowups when a fine phase's
-    # eps-CS check unseated many near-tie rows at once (numpy replica,
-    # scripts/prof_auction.py shapes); with eps0 = forbid_dyn/32 the
-    # production cascade solves in ONE phase (final-phase eps stays in
-    # [eps_final, 8*eps_final), the same optimality bound as before).
-    eps = jnp.maximum(jnp.float32(eps_final), forbid_dyn / 32.0)
+    # eps0 = 0.5. A tempting rescale (eps0 = _FORBID/32, to shorten the
+    # first phase's price walks) moves the LAST-run phase's eps within
+    # its [eps_final, 8*eps_final) band — and the n*eps optimality slack
+    # with it — enough that the cascade parity fuzz diverged from the
+    # Hungarian oracle (seeds 1006/1009). Phase count is unchanged either
+    # way at production tolerance, so there was no real win to keep.
+    eps = jnp.float32(0.5)
 
     def scale_cond(state):
         eps, _, _ = state

@@ -32,6 +32,7 @@ first-free rule), with drops counted when capacity is exhausted.
 from __future__ import annotations
 
 import logging
+import os
 from collections import OrderedDict
 from functools import partial
 from types import SimpleNamespace
@@ -1072,9 +1073,21 @@ class MultiTracker:
                 st, self._hist_store,
                 d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
                 emb_dev)
-        u_det, col4row = _stages_scan_kernel(
-            n_depth, cost, iou_cost, depth_masks, base_iou_active,
-            base_unconf, u_det, col4row, eps=self.assoc_eps)
+        if os.environ.get('FASTMOT_CHAINED_STAGES'):
+            for d in range(n_depth):
+                u_det, col4row = _stage_kernel(
+                    False, cost, depth_masks[d], u_det, col4row,
+                    eps=self.assoc_eps)
+            u_det, col4row = _stage_kernel(
+                True, iou_cost, base_iou_active, u_det, col4row,
+                eps=self.assoc_eps)
+            u_det, col4row = _stage_kernel(
+                False, iou_cost, base_unconf, u_det, col4row,
+                eps=self.assoc_eps)
+        else:
+            u_det, col4row = _stages_scan_kernel(
+                n_depth, cost, iou_cost, depth_masks, base_iou_active,
+                base_unconf, u_det, col4row, eps=self.assoc_eps)
         new_state, new_hist, info = _finals_commit_kernel(
             self.kf_cfg, self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
