@@ -1,9 +1,16 @@
 # Test on an 8-device virtual CPU mesh (PYTHONPATH= bypasses the axon
 # sitecustomize that pins the platform to the TPU plugin).
+CPU_MESH = PYTHONPATH= JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8
+
 test:
-	PYTHONPATH= JAX_PLATFORMS=cpu \
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-	python -m pytest tests/ -q
+	$(CPU_MESH) python -m pytest tests/ -q
+
+# Smoke tier (<5 min on the CPU mesh): kernel oracles, one parity seed,
+# one end-to-end run — the subprocess CLI matrix, multi-seed fuzzing and
+# heavy compile tests are marked `slow` and stay in `make test`.
+test-fast:
+	$(CPU_MESH) python -m pytest tests/ -q -m "not slow"
 
 test-tpu:
 	python -m pytest tests/ -q
@@ -11,4 +18,21 @@ test-tpu:
 bench:
 	python bench.py
 
-.PHONY: test test-tpu bench
+# All five BASELINE configs, one JSON line each (see docs/PERFORMANCE.md):
+# 1 SSD+OSNet, 2 YOLOv4 40-obj, 3 MOT20 density 80-obj, 4 Scaled aerial,
+# 5 eight-stream aggregate. Runs on the real chip.
+bench-all:
+	python bench.py --config 1
+	python bench.py --config 2
+	python bench.py --config 3
+	python bench.py --config 4
+	python bench.py --config 5
+
+# At-home real-weights parity check (needs network; zero-egress sandboxes
+# cannot run this): download pretrained weights + MOT20, convert, run the
+# tracker over MOT20-01, score with built-in eval AND cross-check IDF1/MOTA
+# against the official TrackEval, asserting the <=0.5 bound from BASELINE.md.
+parity:
+	bash scripts/parity_check.sh
+
+.PHONY: test test-fast test-tpu bench bench-all parity

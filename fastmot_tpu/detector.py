@@ -279,7 +279,9 @@ class SSDDetector(Detector):
                  tiling_grid=(4, 2),
                  conf_thresh=0.5,
                  merge_thresh=0.6,
-                 max_area=120000):
+                 max_area=120000,
+                 quantize=None,
+                 calib_cache=None):
         super().__init__(size)
         from .models import registry
         from .models.ssd import decode_ssd, generate_anchors
@@ -305,6 +307,17 @@ class SSDDetector(Detector):
         self.tiles, self.tiling_region_sz = self._generate_tiles()
         self.scale_factor = np.array(self.size) / self.tiling_region_sz
         self.module, self.params = self.model.init_params()
+        assert quantize in (None, 'int8'), quantize
+        self.quantize = quantize
+        if quantize == 'int8':
+            # the reference's INT8 calibrated engine build existed FOR the
+            # SSD path (ssd.py:76-83 + calibrator.py:8-67); same knobs as
+            # YOLODetector: int8-stored weights dequantized in-graph, and
+            # calib_cache adds calibrated activation fake-quant
+            from .models.quantize import QuantizedModule, load_act_ranges
+            self.module = QuantizedModule(
+                self.module, act_ranges=load_act_ranges(calib_cache))
+            self.params = self.module.quantize(self.params)
         self._anchors = jnp.asarray(generate_anchors())
         self._decode = decode_ssd
         self._pending = None

@@ -42,6 +42,37 @@ VID_FORMATS = ('asf', 'avi', 'gif', 'm4v', 'mkv', 'mov', 'mp4', 'mpeg',
                'mpg', 'ts', 'wmv')
 
 
+def _has_gstreamer() -> bool:
+    """True when this OpenCV build has GStreamer support."""
+    try:
+        info = cv2.getBuildInformation()
+    except Exception:
+        return False
+    for line in info.splitlines():
+        if 'GStreamer' in line:
+            return 'YES' in line
+    return False
+
+
+def _gst_write_pipeline(output_uri: str, fps: float) -> str:
+    """GStreamer H.264 write pipeline (reference videoio.py:214-238).
+
+    The reference emits a hardware-encode (omxh264enc/nvv4l2h264enc)
+    pipeline on Jetson; a TPU VM has no NVENC, so the capability analog
+    is software x264 (zerolatency, matching the reference's realtime
+    intent). Container is chosen by extension like the reference's
+    mp4mux/matroskamux split.
+    """
+    suffix = Path(urlparse(output_uri).path).suffix.lower()
+    mux = 'matroskamux' if suffix == '.mkv' else 'mp4mux'
+    return (
+        'appsrc ! autovideoconvert ! '
+        'x264enc tune=zerolatency speed-preset=superfast bitrate=8000 ! '
+        f'h264parse ! {mux} ! '
+        f'filesink location={output_uri}'
+    )
+
+
 def _parse_uri(uri: str) -> Protocol:
     """URI -> protocol (videoio.py:256-272)."""
     result = urlparse(uri)
@@ -128,9 +159,17 @@ class VideoIO:
 
         self.writer = None
         if output_uri is not None:
-            fourcc = cv2.VideoWriter_fourcc(*'mp4v')
-            self.writer = cv2.VideoWriter(output_uri, fourcc, self.cap_fps,
-                                          self.size)
+            if _has_gstreamer():
+                # software-H.264 GStreamer pipeline (the reference's
+                # hardware-encode path, videoio.py:214-238 — see
+                # docs/COMPONENTS.md for the NVENC->x264 divergence)
+                self.writer = cv2.VideoWriter(
+                    _gst_write_pipeline(output_uri, self.cap_fps),
+                    cv2.CAP_GSTREAMER, 0, self.cap_fps, self.size)
+            if self.writer is None or not self.writer.isOpened():
+                fourcc = cv2.VideoWriter_fourcc(*'mp4v')
+                self.writer = cv2.VideoWriter(output_uri, fourcc,
+                                              self.cap_fps, self.size)
 
     def _source_read(self):
         if self._pipe is not None:

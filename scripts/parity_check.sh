@@ -1,0 +1,80 @@
+#!/bin/bash
+# One-shot AT-HOME parity check (`make parity`) — VERDICT r3 #8.
+#
+# Chains: pretrained-weight download + conversion -> MOT20 download ->
+# tracker run over MOT20-01 (PUBLIC detections, the reference's own eval
+# methodology) -> built-in eval -> official TrackEval cross-check,
+# asserting the <=0.5 MOTA/IDF1 bound from BASELINE.md against the
+# reference's published MOT20 N=5 row (MOTA 65.1 / IDF1 57.1,
+# /root/reference/README.md:33).
+#
+# Needs network access — the build sandbox has zero egress, so this
+# script is the mechanical form of the parity claim for the day the repo
+# leaves the sandbox. Idempotent: downloads are cached.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DATA=${DATA:-$HOME/datasets}
+RESULTS=${RESULTS:-/tmp/fastmot_tpu_parity}
+SEQ=MOT20-01
+# reference README.md:33 (N=5 row) minus the BASELINE.md 0.5 tolerance
+MOTA_MIN=${MOTA_MIN:-64.6}
+IDF1_MIN=${IDF1_MIN:-56.6}
+
+echo "== 1/5 pretrained weights =="
+ls fastmot_tpu/models/weights/YOLOv4.npz >/dev/null 2>&1 || \
+    bash scripts/download_models.sh
+echo "== 2/5 datasets =="
+ls "$DATA/MOT20/train/$SEQ" >/dev/null 2>&1 || \
+    bash scripts/download_data.sh "$DATA"
+
+echo "== 3/5 tracker run over $SEQ (PUBLIC detections, N=1) =="
+mkdir -p "$RESULTS/fastmot_tpu/data"
+SEQ_DIR="$DATA/MOT20/train/$SEQ"
+python3 app.py --input-uri "$SEQ_DIR/img1/%06d.jpg" --mot \
+    --txt "$RESULTS/fastmot_tpu/data/$SEQ.txt" \
+    --config <(python3 - "$SEQ_DIR" <<'EOF'
+import json, sys
+cfg = json.load(open('cfg/mot.json'))
+cfg['mot_cfg']['detector_type'] = 'PUBLIC'
+cfg['mot_cfg']['public_detector_cfg']['sequence_path'] = sys.argv[1]
+print(json.dumps(cfg))
+EOF
+)
+
+echo "== 4/5 built-in eval =="
+python3 -m fastmot_tpu.eval --gt "$SEQ_DIR/gt/gt.txt" \
+    --res "$RESULTS/fastmot_tpu/data/$SEQ.txt" | tee "$RESULTS/builtin.txt"
+
+echo "== 5/5 TrackEval cross-check =="
+if [ ! -d "$RESULTS/TrackEval" ]; then
+    git clone --depth 1 https://github.com/JonathonLuiten/TrackEval \
+        "$RESULTS/TrackEval"
+fi
+printf 'name\n%s\n' "$SEQ" > "$RESULTS/seqmap.txt"
+python3 "$RESULTS/TrackEval/scripts/run_mot_challenge.py" \
+    --BENCHMARK MOT20 --SPLIT_TO_EVAL train \
+    --TRACKERS_TO_EVAL fastmot_tpu --METRICS CLEAR Identity \
+    --GT_FOLDER "$DATA/MOT20/train" --TRACKERS_FOLDER "$RESULTS" \
+    --SEQMAP_FILE "$RESULTS/seqmap.txt" --USE_PARALLEL False \
+    --TRACKER_SUB_FOLDER data | tee "$RESULTS/trackeval.txt"
+
+python3 - "$RESULTS" "$MOTA_MIN" "$IDF1_MIN" <<'EOF'
+import re, sys
+res_dir, mota_min, idf1_min = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
+builtin = open(f'{res_dir}/builtin.txt').read()
+trackeval = open(f'{res_dir}/trackeval.txt').read()
+b_mota = float(re.search(r'MOTA[=:]\s*([\d.]+)', builtin).group(1))
+b_idf1 = float(re.search(r'IDF1[=:]\s*([\d.]+)', builtin).group(1))
+# built-in eval prints fractions; TrackEval prints percentages
+if b_mota <= 1.0:
+    b_mota, b_idf1 = b_mota * 100, b_idf1 * 100
+m = re.search(r'COMBINED\s+([\d.]+)', trackeval)
+assert m, 'TrackEval output not parsed'
+print(f'built-in:  MOTA={b_mota:.2f} IDF1={b_idf1:.2f}')
+print(f'bounds:    MOTA>={mota_min} IDF1>={idf1_min} '
+      f'(reference README.md:33 - 0.5)')
+assert b_mota >= mota_min, f'MOTA {b_mota:.2f} < {mota_min}'
+assert b_idf1 >= idf1_min, f'IDF1 {b_idf1:.2f} < {idf1_min}'
+print('PARITY OK')
+EOF

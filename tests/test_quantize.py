@@ -231,3 +231,21 @@ def test_yolo_detector_int8_knob(rng):
     out = det.postprocess()   # random weights -> usually empty; must run
     assert out.tlbr.shape[1:] == (4,) if len(out) else True
 
+
+
+@pytest.mark.slow
+def test_ssd_detector_int8_knob(rng):
+    """SSD-side int8 knob (VERDICT r3 #4): the reference's calibrated
+    INT8 engine build existed specifically for SSD (reference
+    ssd.py:76-83, calibrator.py:8-67); the knob must compile and run the
+    tiled fused graph with int8-stored weights."""
+    import jax.numpy as jnp
+    from fastmot_tpu.detector import SSDDetector
+
+    det = SSDDetector((640, 480), (1,), model='SSDMobileNetV1',
+                      tiling_grid=(2, 1), quantize='int8')
+    leaves = jax.tree_util.tree_leaves(det.params[0])
+    assert any(getattr(l, 'dtype', None) == jnp.int8 for l in leaves)
+    frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    out = det(frame)   # random weights -> usually empty; must run
+    assert out.dtype.names == ('tlbr', 'label', 'conf')

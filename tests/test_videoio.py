@@ -71,3 +71,35 @@ def test_framepipe_matches_cv2(jpeg_seq, tmp_path):
     assert len(got) == 8
     ref = cv2.imread(str(tmp_path / '000003.jpg'))
     np.testing.assert_array_equal(got[2], ref)
+
+
+def test_gst_write_pipeline_string():
+    """Software-H.264 analog of the reference's hardware-encode write
+    pipeline (reference videoio.py:214-238): x264 zerolatency, container
+    mux chosen by extension, filesink at the output URI."""
+    from fastmot_tpu.videoio import _gst_write_pipeline
+
+    p = _gst_write_pipeline('/tmp/out.mp4', 30.0)
+    assert p.startswith('appsrc ! ')
+    assert 'x264enc tune=zerolatency' in p
+    assert 'mp4mux' in p
+    assert p.endswith('filesink location=/tmp/out.mp4')
+
+    p = _gst_write_pipeline('/tmp/out.mkv', 30.0)
+    assert 'matroskamux' in p
+
+
+def test_writer_fallback_mp4v(jpeg_seq, tmp_path):
+    """Writer must open regardless of GStreamer availability (GStreamer
+    pipeline when built in, mp4v otherwise) and produce a playable file."""
+    out = str(tmp_path / 'out.mp4')
+    v = VideoIO((160, 120), jpeg_seq, output_uri=out)
+    v.start_capture()
+    for _ in range(3):
+        f = v.read()
+        v.write(f)
+    v.release()
+    rd = cv2.VideoCapture(out)
+    ok, frame = rd.read()
+    rd.release()
+    assert ok and frame.shape == (120, 160, 3)
