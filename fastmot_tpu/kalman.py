@@ -72,25 +72,31 @@ class KalmanConfig:
         assert self.vel_half_life > 0
 
 
-def init_mats(cfg: KalmanConfig, dt: float) -> tuple[jax.Array, jax.Array, jax.Array]:
+def init_mats(cfg: KalmanConfig, dt: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build (acc_cov, meas_mat, trans_mat) from dt (kalman_filter.py:294-306).
 
     The transition couples each corner's position to a blend of its own
     velocity and the diagonally-opposite corner's velocity, and decays
     velocities with half-life ``vel_half_life`` seconds.
+
+    Built in NumPy on purpose: the eager ``.at[].set`` construction this
+    replaces dispatched ~60 one-element device ops per ``reset()``, each a
+    full enqueue-RPC round trip (~100 ms per reset on the tunnel-attached
+    dev chip). Callers ``jax.device_put`` the results once.
     """
-    acc_cov = jnp.diag(jnp.array([0.25 * dt ** 4] * 4 + [dt ** 2] * 4,
-                                 dtype=jnp.float32))
-    off = jnp.eye(4, dtype=jnp.float32) * (0.5 * dt ** 3)
-    acc_cov = acc_cov.at[4:, :4].set(off).at[:4, 4:].set(off)
+    acc_cov = np.diag(np.array([0.25 * dt ** 4] * 4 + [dt ** 2] * 4,
+                               dtype=np.float32))
+    off = np.eye(4, dtype=np.float32) * (0.5 * dt ** 3)
+    acc_cov[4:, :4] = off
+    acc_cov[:4, 4:] = off
 
-    meas_mat = jnp.eye(4, 8, dtype=jnp.float32)
+    meas_mat = np.eye(4, 8, dtype=np.float32)
 
-    trans = jnp.eye(8, dtype=jnp.float32)
+    trans = np.eye(8, dtype=np.float32)
     for i in range(4):
-        trans = trans.at[i, i + 4].set(cfg.vel_coupling * dt)
-        trans = trans.at[i, (i + 2) % 4 + 4].set((1.0 - cfg.vel_coupling) * dt)
-        trans = trans.at[i + 4, i + 4].set(0.5 ** (dt / cfg.vel_half_life))
+        trans[i, i + 4] = cfg.vel_coupling * dt
+        trans[i, (i + 2) % 4 + 4] = (1.0 - cfg.vel_coupling) * dt
+        trans[i + 4, i + 4] = 0.5 ** (dt / cfg.vel_half_life)
     return acc_cov, meas_mat, trans
 
 

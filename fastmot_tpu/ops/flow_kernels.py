@@ -187,10 +187,14 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             + c * fy * (1 - fx) + d * fy * fx)
 
 
-TAB_DTYPE = jnp.float16   # window-table storage: image values are 8-bit
-                          # at heart, so f16's 10-bit mantissa (max error
-                          # ~0.25 at 255, comparable to cv2's Q14 fixed
-                          # point) halves table build + gather traffic
+TAB_DTYPE = jnp.uint8     # window-table storage: image values are 8-bit
+                          # at heart — cv2's own LK pyramids ARE uint8
+                          # (buildOpticalFlowPyramid), so rounding the
+                          # (float) pyramid to u8 matches the reference's
+                          # quantization while halving table build traffic
+                          # and gather bytes vs the round-3 f16 tables.
+                          # Interpolation still happens in f32 after the
+                          # gather (the role of cv2's Q14 fixed point).
 
 
 def _window_table(img: jax.Array, win: int) -> jax.Array:
@@ -209,10 +213,49 @@ def _window_table(img: jax.Array, win: int) -> jax.Array:
     wide = win + 3
     pad = jnp.pad(img, ((half + 1, half + 2), (half + 1, half + 2)),
                   mode='edge')
+    if TAB_DTYPE == jnp.uint8:
+        # round ONCE before the tap stack so all 64 copies of a pixel
+        # quantize identically (and the stack moves 1-byte values)
+        pad = jnp.clip(jnp.round(pad), 0.0, 255.0).astype(jnp.uint8)
     taps = [pad[dy:dy + h, dx:dx + w]
             for dy in range(wide) for dx in range(wide)]
     return jnp.stack(taps, axis=-1).reshape(
         h * w, wide * wide).astype(TAB_DTYPE)
+
+
+def _gather_window_rows(tab: jax.Array, w, h, win: int,
+                        x: jax.Array, y: jax.Array, off=0):
+    """ONE contiguous row gather per point on a _window_table. Returns
+    ``(rows [P, wide, wide] f32, x0, y0)`` — the integer anchor cell and
+    its (win+3)^2 window, from which any subpixel sample with the same
+    anchor can be interpolated exactly (see _interp_halo). ``w``/``h``/
+    ``off`` may be traced scalars: the fused multi-level LK loop selects
+    the pyramid level at runtime, with ``off`` the level's row offset
+    into the CONCATENATED table."""
+    wide = win + 3
+    x = jnp.clip(x, 0.0, jnp.asarray(w, jnp.float32) - 1.001)
+    y = jnp.clip(y, 0.0, jnp.asarray(h, jnp.float32) - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    rows = jnp.take(tab, off + y0 * w + x0, axis=0)          # [P, wide^2]
+    p = rows.shape[0]
+    r = rows.reshape(p, wide, wide).astype(jnp.float32)
+    return r, x0, y0
+
+
+def _interp_halo(r: jax.Array, fx: jax.Array, fy: jax.Array,
+                 win: int) -> jax.Array:
+    """[P, win+2, win+2] bilinear blend of a gathered window's four
+    corner patches at fractional offsets ``fx``/``fy`` in [0, 1)."""
+    inner = win + 2
+    fx = fx[:, None, None]
+    fy = fy[:, None, None]
+    p00 = r[:, :inner, :inner]
+    p01 = r[:, :inner, 1:]
+    p10 = r[:, 1:, :inner]
+    p11 = r[:, 1:, 1:]
+    return ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
+            + fy * (1 - fx) * p10 + fy * fx * p11)
 
 
 def _sample_patch_halo(tab: jax.Array, w, h, win: int,
@@ -221,26 +264,11 @@ def _sample_patch_halo(tab: jax.Array, w, h, win: int,
     1-px gradient halo) at subpixel points, from ONE row gather per
     point on a _window_table. out[i, j] = sample(y - half - 1 + i,
     x - half - 1 + j); the ``win x win`` value patch is the center
-    slice [1:win+1, 1:win+1]. ``w``/``h``/``off`` may be traced scalars:
-    the fused multi-level LK loop selects the pyramid level at runtime,
-    with ``off`` the level's row offset into the CONCATENATED table."""
-    wide = win + 3
-    inner = win + 2
+    slice [1:win+1, 1:win+1]."""
+    r, x0, y0 = _gather_window_rows(tab, w, h, win, x, y, off)
     x = jnp.clip(x, 0.0, jnp.asarray(w, jnp.float32) - 1.001)
     y = jnp.clip(y, 0.0, jnp.asarray(h, jnp.float32) - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[:, None, None]
-    fy = (y - y0)[:, None, None]
-    rows = jnp.take(tab, off + y0 * w + x0, axis=0)          # [P, 10*10]
-    p = rows.shape[0]
-    r = rows.reshape(p, wide, wide).astype(jnp.float32)
-    p00 = r[:, :inner, :inner]
-    p01 = r[:, :inner, 1:]
-    p10 = r[:, 1:, :inner]
-    p11 = r[:, 1:, 1:]
-    return ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
-            + fy * (1 - fx) * p10 + fy * fx * p11)
+    return _interp_halo(r, x - x0, y - y0, win)
 
 
 def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
@@ -268,17 +296,27 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
     n_pts = pts.shape[0]
     wi = spec.win
     ww = wi * wi
-    # static per-level geometry -> runtime-indexed vectors
+    # static per-level geometry -> ONE runtime-indexed [L, 3] row per
+    # iteration (three separate vectors cost three dynamic-slices per
+    # loop trip, ~3 us of the body on the r4 op trace)
     dims = [img.shape for img in prev_pyr]                  # [(h, w)]
-    hs = jnp.array([h for h, _ in dims], jnp.int32)
-    ws = jnp.array([w for _, w in dims], jnp.int32)
-    offs = jnp.array(np.cumsum([0] + [h * w for h, w in dims[:-1]]),
-                     jnp.int32)
+    level_offs = np.cumsum([0] + [h * w for h, w in dims[:-1]])
+    geo = jnp.array([[h, w, o] for (h, w), o in zip(dims, level_offs)],
+                    jnp.int32)                              # [L, 3]
     # cv2 criteria (COUNT | EPS): iterate until every point's step falls
     # below eps or the count cap — typically ~3 rounds/level. The patch
     # error is tracked INSIDE the loop (at the pre-step position) so no
     # extra sample is needed after convergence; only level 0's value is
     # consumed, gated at spec.max_error.
+    #
+    # Double-step: the gathered (win+3)^2 window covers every subpixel
+    # sample whose integer anchor cell is unchanged, so when a
+    # Gauss-Newton step stays within the anchor cell a SECOND exact step
+    # is taken from the same rows (new fractional weights, zero extra
+    # gather). Near convergence steps are subpixel, so most iterations
+    # advance two steps per row gather — the gather is ~60% of the loop
+    # body's cost (17.5 us of ~29 us per iteration on the r4 op trace).
+    # Per-point step budgets keep the cv2 COUNT criterion exact.
     eps2 = 0.03 * 0.03
     zf = jnp.zeros(n_pts, jnp.float32)
     zb = jnp.zeros(n_pts, bool)
@@ -286,8 +324,9 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
     def level_template(lvl):
         scale = jnp.exp2(-lvl.astype(jnp.float32))
         p = pts * scale
-        t_halo = _sample_patch_halo(prev_tabs, ws[lvl], hs[lvl], wi,
-                                    p[:, 0], p[:, 1], offs[lvl])
+        g = geo[lvl]
+        t_halo = _sample_patch_halo(prev_tabs, g[1], g[0], wi,
+                                    p[:, 0], p[:, 1], g[2])
         t_patch = t_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
         gx = (0.5 * (t_halo[:, 1:wi + 1, 2:wi + 2]
                      - t_halo[:, 1:wi + 1, 0:wi])).reshape(n_pts, ww)
@@ -305,44 +344,79 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         det_safe = jnp.where(det > 1e-12, det, 1.0)
         return t_patch, gx, gy, gxx, gyy, gxy, det_safe, inv_ok
 
-    # loop state: (lvl, fresh, it, v, active, err, ok, templates...)
+    # loop state: (lvl, fresh, it, v, active, err, ok, steps, templates...)
+    zi = jnp.zeros(n_pts, jnp.int32)
     tmpl0 = (jnp.zeros((n_pts, ww)), jnp.zeros((n_pts, ww)),
              jnp.zeros((n_pts, ww)), zf, zf, zf, jnp.ones(n_pts), zb)
     state0 = (jnp.int32(n_levels - 1), jnp.bool_(True), jnp.int32(0),
-              jnp.zeros_like(pts), zb, zf, valid, tmpl0)
+              jnp.zeros_like(pts), zb, zf, valid, zi, tmpl0)
 
     def cond(st):
         return st[0] >= 0
 
     def start_level(st):
-        lvl, _, _, v, _, err, ok, _ = st
+        lvl, _, _, v, _, err, ok, _, _ = st
         tmpl = level_template(lvl)
+        # active starts at VALID, not all-ones: the padded/invalid points
+        # sample garbage that never satisfies the eps criterion, and one
+        # never-converging point pins the whole level at the full
+        # iteration budget (measured: 768 pad points kept every level at
+        # 10 trips; valid-masked + double-step, levels end in ~5)
         return (lvl, jnp.bool_(False), jnp.int32(0), v,
-                jnp.ones(n_pts, bool), err, ok, tmpl)
+                valid, err, ok, zi, tmpl)
 
     def gn_step(st):
-        lvl, fresh, it, v, active, err, ok, tmpl = st
+        lvl, fresh, it, v, active, err, ok, steps, tmpl = st
         t_patch, gx, gy, gxx, gyy, gxy, det_safe, inv_ok = tmpl
         scale = jnp.exp2(-lvl.astype(jnp.float32))
         p = pts * scale
-        c_halo = _sample_patch_halo(cur_tabs, ws[lvl], hs[lvl], wi,
-                                    p[:, 0] + v[:, 0], p[:, 1] + v[:, 1],
-                                    offs[lvl])
-        c_patch = c_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
-        diff = t_patch - c_patch
-        err = jnp.where(active, jnp.mean(jnp.abs(diff), axis=1), err)
-        bx = jnp.sum(diff * gx, axis=1)
-        by = jnp.sum(diff * gy, axis=1)
-        dx = (gyy * bx - gxy * by) / det_safe
-        dy = (gxx * by - gxy * bx) / det_safe
-        # trust region: a Gauss-Newton step larger than the window is
-        # meaningless and catapults the track (observed at borders)
-        step = jnp.clip(jnp.stack([dx, dy], axis=-1),
-                        -float(wi), float(wi))
-        take = (active & inv_ok)[:, None]
-        v = v + jnp.where(take, step, 0.0)
-        still = jnp.sum(step * step, axis=1) >= eps2
-        active = active & inv_ok & still
+        g = geo[lvl]
+        h, w = g[0], g[1]
+        wf = jnp.asarray(w, jnp.float32)
+        hf = jnp.asarray(h, jnp.float32)
+        rows, x0, y0 = _gather_window_rows(
+            cur_tabs, w, h, wi, p[:, 0] + v[:, 0], p[:, 1] + v[:, 1],
+            g[2])
+
+        def gn_math(fx, fy):
+            c_halo = _interp_halo(rows, fx, fy, wi)
+            c_patch = c_halo[:, 1:wi + 1, 1:wi + 1].reshape(n_pts, ww)
+            diff = t_patch - c_patch
+            e = jnp.mean(jnp.abs(diff), axis=1)
+            bx = jnp.sum(diff * gx, axis=1)
+            by = jnp.sum(diff * gy, axis=1)
+            dx = (gyy * bx - gxy * by) / det_safe
+            dy = (gxx * by - gxy * bx) / det_safe
+            # trust region: a Gauss-Newton step larger than the window is
+            # meaningless and catapults the track (observed at borders)
+            return jnp.clip(jnp.stack([dx, dy], axis=-1),
+                            -float(wi), float(wi)), e
+
+        # step 1 — at the gather position itself (exact by construction)
+        xc = jnp.clip(p[:, 0] + v[:, 0], 0.0, wf - 1.001)
+        yc = jnp.clip(p[:, 1] + v[:, 1], 0.0, hf - 1.001)
+        step1, e1 = gn_math(xc - x0, yc - y0)
+        err = jnp.where(active, e1, err)
+        v = v + jnp.where((active & inv_ok)[:, None], step1, 0.0)
+        still1 = jnp.sum(step1 * step1, axis=1) >= eps2
+        steps = steps + active.astype(jnp.int32)
+        active = active & inv_ok & still1 & (steps < spec.iters)
+
+        # step 2 — exact resample from the SAME rows when the stepped
+        # position keeps the anchor cell (floor unchanged after clip)
+        x2 = jnp.clip(p[:, 0] + v[:, 0], 0.0, wf - 1.001)
+        y2 = jnp.clip(p[:, 1] + v[:, 1], 0.0, hf - 1.001)
+        same = (jnp.floor(x2).astype(jnp.int32) == x0) & \
+               (jnp.floor(y2).astype(jnp.int32) == y0)
+        do2 = active & same
+        step2, e2 = gn_math(x2 - x0, y2 - y0)
+        err = jnp.where(do2, e2, err)
+        v = v + jnp.where(do2[:, None], step2, 0.0)
+        still2 = jnp.sum(step2 * step2, axis=1) >= eps2
+        steps = steps + do2.astype(jnp.int32)
+        active = jnp.where(do2, active & still2 & (steps < spec.iters),
+                           active)
+
         it = it + 1
         # level complete -> fold the eigen gate into ok, seed the next
         # finer level (guess doubles except when leaving level 0)
@@ -350,7 +424,7 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         ok = jnp.where(done, ok & inv_ok, ok)
         v = jnp.where(done & (lvl > 0), v * 2.0, v)
         lvl = jnp.where(done, lvl - 1, lvl)
-        return (lvl, done, it, v, active, err, ok, tmpl)
+        return (lvl, done, it, v, active, err, ok, steps, tmpl)
 
     def body(st):
         return jax.lax.cond(st[1], start_level, gn_step, st)

@@ -347,6 +347,25 @@ _gap_commit_kernel = partial(
 )(_gap_commit_core)
 
 
+def _assoc_forbid(max_assoc_cost: float, iou_gate: float,
+                  fill_val: float) -> float:
+    """Forbidden-entry level for the cascade's auctions.
+
+    Kept at the validated 4.5 for every gate configuration: lowering it
+    toward 2 x the max finite entry (2.25 at the default gates) looked
+    like a free walk-length win but MEASURED 7-15x slower on
+    production-shaped degenerate matrices (rounds 104 -> 800+,
+    scripts/prof_auction.py shapes) — with a small forbid/finite margin,
+    starving rows flip between finite and forbidden columns across
+    epsilon phases instead of settling. A 'parking columns' variant
+    (rectangular padding so displaced rows always find a free column)
+    converged in 24 rounds but destroyed the forced-scarcity price
+    discovery entirely (5/40 correct pairs). See docs/PERFORMANCE.md
+    negative results."""
+    del max_assoc_cost, iou_gate, fill_val
+    return 4.5
+
+
 def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
                     motion_weight: float, max_assoc_cost: float,
                     iou_gate: float, fill_val: float,
@@ -359,6 +378,7 @@ def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     """The COMPLETE association cascade (tracker.py:185-247): age-cascaded
     appearance+motion stage, IoU stages for active and unconfirmed tracks,
     greedy reID against the history store, duplicate-rectify candidates."""
+    forbid = _assoc_forbid(max_assoc_cost, iou_gate, fill_val)
     occluded = geom.find_occluded(d_tlbrs, occlusion_thresh, d_valid)
 
     t_feats = _normalized_feats(feat_sum, feat_count)
@@ -392,17 +412,20 @@ def _cascade_stages(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     # trades nothing measurable for a ~10x smaller worst case.
     for depth in range(n_depth):
         row_valid = t_valid & t_confirmed & (t_depth == depth)
-        _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=1e-2)
+        _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=1e-2,
+                                 forbid=forbid)
         u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # stage 2: IoU matching for remaining active confirmed tracks
     row_valid = t_valid & t_confirmed & t_active & (col4row_final < 0)
-    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2)
+    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2,
+                             forbid=forbid)
     u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # stage 3: IoU matching for unconfirmed tracks
     row_valid = t_valid & ~t_confirmed
-    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2)
+    _, c4r = asg.auction_lap(iou_cost, row_valid, u_det, eps_final=1e-2,
+                             forbid=forbid)
     u_det, col4row_final = take(u_det, col4row_final, c4r, row_valid)
 
     # greedy reID against the device history store (tracker.py:229-241)
@@ -449,8 +472,15 @@ def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
                       iou_gate: float, fill_val: float,
                       occlusion_thresh: float, confirm_hits: int,
                       state, hist, d_tlbrs, d_labels, d_conf, d_valid,
-                      d_embeddings):
-    """Cost matrices + row masks for every cascade stage, one dispatch."""
+                      d_embeddings, emb_cap: int | None = None):
+    """Cost matrices + row masks for every cascade stage, one dispatch.
+
+    ``emb_cap`` (static): detections at padded index >= emb_cap carry no
+    embedding (the fused extract ran under its crop budget) and are
+    treated exactly like occluded detections — appearance-free
+    association via the motion/IoU stages, excluded from reID and from
+    feature absorption. The budget only engages on small scenes (see
+    update_device_fused); overflow is counted and warned."""
     (means, covs, tlbrs, t_valid, ages, hits, t_labels, start_f, end_f,
      lost_pending, inl, kps, kpv, feat_sum, feat_count) = state
     hist_sum, hist_count, h_labels, h_valid, h_lru, h_hits = hist
@@ -460,6 +490,8 @@ def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
     h_reid_ok = h_valid & (hist_count >= 2.0)
 
     occluded = geom.find_occluded(d_tlbrs, occlusion_thresh, d_valid)
+    if emb_cap is not None and emb_cap < d_tlbrs.shape[0]:
+        occluded = occluded | (jnp.arange(d_tlbrs.shape[0]) >= emb_cap)
     t_feats = _normalized_feats(feat_sum, feat_count)
     empty = (feat_count < 1.0)[:, None] | occluded[None, :]
     cost = dist.cdist(t_feats, d_embeddings, metric,
@@ -485,7 +517,8 @@ def _assoc_costs_core(cfg: KalmanConfig, metric: dist.Metric, n_depth: int,
 
 
 def _stage_core(exclude_matched: bool, cost, base_mask, u_det,
-                col4row_final, eps: float = 1e-2):
+                col4row_final, eps: float = 1e-2,
+                forbid: float = asg._FORBID):
     """One auction stage: solve, absorb matches, consume detections.
 
     ``eps`` is the auction's final tolerance (see the eps_final comment
@@ -493,7 +526,8 @@ def _stage_core(exclude_matched: bool, cost, base_mask, u_det,
     at 1e-4 so near-tie tie-breaks cannot mask semantic divergence."""
     row_valid = base_mask & (col4row_final < 0) if exclude_matched \
         else base_mask
-    _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=eps)
+    _, c4r = asg.auction_lap(cost, row_valid, u_det, eps_final=eps,
+                             forbid=forbid)
     matched = (c4r >= 0) & row_valid
     col4row_final = jnp.where(matched, c4r, col4row_final)
     taken = jnp.zeros_like(u_det).at[
@@ -526,7 +560,7 @@ def _finals_core(conf_thresh: float, max_reid_cost: float, dup_gate: float,
 
 def _stages_scan_core(n_depth: int, cost, iou_cost, depth_masks,
                       base_iou_active, base_unconfirmed, u_det, col4row,
-                      eps: float = 1e-2):
+                      eps: float = 1e-2, forbid: float = asg._FORBID):
     """ALL cascade auction stages in one dispatch via ``lax.scan``.
 
     Mathematically identical to chaining ``_stage_core`` six times. The
@@ -552,7 +586,8 @@ def _stages_scan_core(n_depth: int, cost, iou_cost, depth_masks,
         stage_cost = jnp.where(is_iou, iou_cost, cost)
         row_valid = mask & jnp.where(excl, c4r < 0,
                                      jnp.ones_like(mask))
-        _, c = asg.auction_lap(stage_cost, row_valid, u_det, eps_final=eps)
+        _, c = asg.auction_lap(stage_cost, row_valid, u_det, eps_final=eps,
+                               forbid=forbid)
         matched = (c >= 0) & row_valid
         c4r = jnp.where(matched, c, c4r)
         taken = jnp.zeros_like(u_det).at[
@@ -567,13 +602,54 @@ def _stages_scan_core(n_depth: int, cost, iou_cost, depth_masks,
 _assoc_costs_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'metric', 'n_depth', 'motion_weight', 'max_assoc_cost',
     'iou_gate', 'fill_val', 'occlusion_thresh',
-    'confirm_hits'))(_assoc_costs_core)
+    'confirm_hits', 'emb_cap'))(_assoc_costs_core)
+
+
+def _extract_costs_core(module, out_hw, emb_cap: int,
+                        cfg: KalmanConfig, metric: dist.Metric,
+                        n_depth: int, motion_weight: float,
+                        max_assoc_cost: float, iou_gate: float,
+                        fill_val: float, occlusion_thresh: float,
+                        confirm_hits: int,
+                        params, frame, state, hist,
+                        d_tlbrs, d_labels, d_conf, d_valid):
+    """Fused ReID extraction + association costs: in-graph crop-resize +
+    OSNet + L2 over the first ``emb_cap`` detections, then the full cost
+    build — ONE dispatch instead of extract + costs (both halves are
+    loop-free, so the fusion is safe from the big-kernel while penalty;
+    saves one enqueue RPC and keeps the crop batch out of HBM).
+
+    ``emb_cap`` is the crop budget: detections are compacted valid-first
+    by the detector's NMS kernel, so a 64-crop budget covers every
+    MOT17-density scene while halving the crop-resize + OSNet cost (the
+    two-bucket pattern of ops/flow_kernels.flow_budget). Returns the
+    costs tuple plus the padded [D, F] embeddings."""
+    from .feature_extractor import _extract_core
+    d_cap = d_tlbrs.shape[0]
+    emb = _extract_core(module, out_hw, params, frame,
+                        d_tlbrs[:emb_cap], d_valid[:emb_cap])
+    if emb_cap < d_cap:
+        d_emb = jnp.zeros((d_cap, emb.shape[1]), jnp.float32)
+        d_emb = jax.lax.dynamic_update_slice(d_emb, emb, (0, 0))
+    else:
+        d_emb = emb
+    costs = _assoc_costs_core(
+        cfg, metric, n_depth, motion_weight, max_assoc_cost, iou_gate,
+        fill_val, occlusion_thresh, confirm_hits, state, hist,
+        d_tlbrs, d_labels, d_conf, d_valid, d_emb, emb_cap=emb_cap)
+    return costs, d_emb
+
+
+_extract_costs_kernel = partial(jax.jit, static_argnames=(
+    'module', 'out_hw', 'emb_cap', 'cfg', 'metric', 'n_depth',
+    'motion_weight', 'max_assoc_cost', 'iou_gate', 'fill_val',
+    'occlusion_thresh', 'confirm_hits'))(_extract_costs_core)
 
 _stage_kernel = partial(jax.jit, static_argnames=(
-    'exclude_matched', 'eps'))(_stage_core)
+    'exclude_matched', 'eps', 'forbid'))(_stage_core)
 
 _stages_scan_kernel = partial(jax.jit, static_argnames=(
-    'n_depth', 'eps'))(_stages_scan_core)
+    'n_depth', 'eps', 'forbid'))(_stages_scan_core)
 
 _finals_kernel = partial(jax.jit, static_argnames=(
     'conf_thresh', 'max_reid_cost', 'dup_gate',
@@ -801,7 +877,8 @@ def _commit_part(cfg: KalmanConfig, confirm_hits: int, max_age: int,
         a.astype(jnp.float32).reshape(-1) for a in (
             jnp.stack([frame_id.astype(jnp.float32),
                        n_dropped.astype(jnp.float32),
-                       stolen.astype(jnp.float32)]),
+                       stolen.astype(jnp.float32),
+                       jnp.sum(d_valid).astype(jnp.float32)]),
             match_det, merge_src, dup_cond, del_unconf, retire_age,
             out_of_frame, hist_dst, reinstate_hist, create_det,
             new_ages, new_hits, new_labels, new_valid, feat_ok,
@@ -928,8 +1005,11 @@ class MultiTracker:
         self.homography = None
 
         self._dt = 1 / 30.0
-        self._acc_cov, self._meas_mat, self._trans_mat = kf.init_mats(
-            self.kf_cfg, self._dt)
+        # one batched H2D for the dt-dependent constants (init_mats is
+        # NumPy: its old eager construction cost ~100 ms/reset in enqueue
+        # RPCs on the tunnel-attached dev chip)
+        self._acc_cov, self._meas_mat, self._trans_mat = jax.device_put(
+            kf.init_mats(self.kf_cfg, self._dt))
         self._frame_rect_dev = jnp.asarray(self.frame_rect, jnp.float32)
 
         # device-resident state + host presentation mirrors
@@ -939,6 +1019,7 @@ class MultiTracker:
         self._hist_slot_tid: dict[int, int] = {}     # hist slot -> trk_id
         self._pending: list = []                     # (kind, meta, info_dev)
         self._mirrors_dirty = True        # host mirrors are authoritative
+        self._det_count_hint = 0          # from the last applied assoc info
         self.overflow = OverflowCounters()
 
     # -- lifecycle ---------------------------------------------------------
@@ -946,11 +1027,12 @@ class MultiTracker:
     def reset(self, dt):
         """Reset for a new input context (tracker.py:109-119)."""
         self._dt = dt
-        self._acc_cov, self._meas_mat, self._trans_mat = kf.init_mats(
-            self.kf_cfg, dt)
+        self._acc_cov, self._meas_mat, self._trans_mat = jax.device_put(
+            kf.init_mats(self.kf_cfg, dt))
         self.hist_tracks.clear()
         self._hist_slot_tid.clear()
         self._hist_store = None
+        self._det_count_hint = 0
         Track._count = 0
 
     def init(self, frame, detections):
@@ -1073,32 +1155,83 @@ class MultiTracker:
                 st, self._hist_store,
                 d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
                 emb_dev)
+        costs = (cost, iou_cost, reid_cost, occluded, h_reid_ok,
+                 depth_masks, base_iou_active, base_unconf, u_det, col4row)
+        self._stages_and_commit(frame_id, det_dev, emb_dev, costs,
+                                host_emb=host_emb)
+
+    def update_device_fused(self, frame_id, frame_dev, det_dev, extractor):
+        """Device-array association with the ReID extraction FUSED into
+        the cost kernel: crops + OSNet + L2 + cost matrices in one
+        dispatch (vs extract + costs as two), with a two-bucket crop
+        budget — 64 crops when the scene is small (every MOT17-density
+        row), the full padded batch otherwise. Detections beyond the
+        budget associate appearance-free like occluded ones; overflow is
+        counted at sync and warned."""
+        if self._dev_state is None or self._mirrors_dirty:
+            self._upload_state()
+        self._ensure_hist_store()
+        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = det_dev
+        d_cap = int(d_tlbrs_dev.shape[0])
+        # bucket heuristic: host-side estimate of scene size (active
+        # mirrors lag by at most one txt-flush window; the det-count
+        # hint comes from the most recently applied association info)
+        n_active = sum(1 for t in self.tracks.values() if t.active)
+        est = max(n_active, self._det_count_hint)
+        emb_cap = 64 if (est <= 48 and d_cap > 64) else d_cap
+
+        n_depth = (self.max_age + 2) // 2
+        fill_val = min(self.max_assoc_cost + 0.1, 1.0)
+        costs, emb_dev = _extract_costs_kernel(
+            extractor.module, extractor._out_hw, emb_cap,
+            self.kf_cfg, self.metric, n_depth, self.motion_weight,
+            self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
+            self.occlusion_thresh, self.confirm_hits,
+            extractor.params, frame_dev, self._dev_state,
+            self._hist_store,
+            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev)
+        self._stages_and_commit(frame_id, det_dev, emb_dev, costs,
+                                emb_cap=emb_cap)
+
+    def _stages_and_commit(self, frame_id, det_dev, emb_dev, costs,
+                           host_emb=None, emb_cap=None):
+        """Shared back half of an association frame: the solver stage
+        kernels + the finals/commit kernel (see update_device)."""
+        d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev = det_dev
+        (cost, iou_cost, reid_cost, occluded, h_reid_ok, depth_masks,
+         base_iou_active, base_unconf, u_det, col4row) = costs
+        n_depth = (self.max_age + 2) // 2
+        fill_val = min(self.max_assoc_cost + 0.1, 1.0)
+        forbid = _assoc_forbid(self.max_assoc_cost, 1.0 - self.iou_thresh,
+                               fill_val)
         if os.environ.get('FASTMOT_CHAINED_STAGES'):
             for d in range(n_depth):
                 u_det, col4row = _stage_kernel(
                     False, cost, depth_masks[d], u_det, col4row,
-                    eps=self.assoc_eps)
+                    eps=self.assoc_eps, forbid=forbid)
             u_det, col4row = _stage_kernel(
                 True, iou_cost, base_iou_active, u_det, col4row,
-                eps=self.assoc_eps)
+                eps=self.assoc_eps, forbid=forbid)
             u_det, col4row = _stage_kernel(
                 False, iou_cost, base_unconf, u_det, col4row,
-                eps=self.assoc_eps)
+                eps=self.assoc_eps, forbid=forbid)
         else:
             u_det, col4row = _stages_scan_kernel(
                 n_depth, cost, iou_cost, depth_masks, base_iou_active,
-                base_unconf, u_det, col4row, eps=self.assoc_eps)
+                base_unconf, u_det, col4row, eps=self.assoc_eps,
+                forbid=forbid)
         new_state, new_hist, info = _finals_commit_kernel(
             self.kf_cfg, self.conf_thresh, self.max_reid_cost,
             1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
             self.history_size, self._dev_state, self._hist_store,
             d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            jnp.int32(frame_id), self._frame_rect_dev,
+            np.int32(frame_id), self._frame_rect_dev,
             reid_cost, h_reid_ok, occluded, u_det, col4row)
         self._dev_state = new_state
         self._hist_store = new_hist
         self._pending.append(('assoc', {'frame_id': frame_id,
-                                        'host_emb': host_emb}, info))
+                                        'host_emb': host_emb,
+                                        'emb_cap': emb_cap}, info))
 
     # -- deferred host bookkeeping ---------------------------------------------
 
@@ -1180,7 +1313,7 @@ class MultiTracker:
     def _assoc_layout(self):
         t, d, h = MAX_TRACKS, MAX_DETS, self._hist_cap
         return [
-            ('head', (3,), np.float32),
+            ('head', (4,), np.float32),
             ('match_det', (t,), np.int32), ('merge_src', (t,), np.int32),
             ('dup', (t,), bool), ('del_unconf', (t,), bool),
             ('retire_age', (t,), bool), ('out_of_frame', (t,), bool),
@@ -1217,6 +1350,11 @@ class MultiTracker:
         slot_ids = self._slot_ids
         self.overflow.bump('track_slots_exhausted', int(a['head'][1]))
         self.overflow.bump('hist_slots_stolen', int(a['head'][2]))
+        n_dets = int(a['head'][3])
+        self._det_count_hint = n_dets
+        emb_cap = meta.get('emb_cap')
+        if emb_cap is not None and n_dets > emb_cap:
+            self.overflow.bump('emb_budget_exceeded', n_dets - emb_cap)
         nt = a['next_tlbrs'].astype(np.float64)
 
         def state_of(i):
