@@ -14,6 +14,18 @@ detections so the extractor/tracker stages see a realistic load; all
 kernels still execute with production shapes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``value`` is the MEDIAN of 3 timed passes (the defensible headline; the
+best pass is reported as "best" — dev-tunnel latency varies ~2x minute
+to minute). Per-frame p50/p99 step wall times are reported alongside
+(enqueue-side: the pipeline is asynchronous, so step() time is the
+frame-rate-defining quantity, not completion latency).
+
+``--config N`` selects one of the five BASELINE rows:
+  1 SSD (InceptionV2 4x2 tiling) + OSNet, 24 objects
+  2 YOLOv4-512 + OSNet, 40 objects (MOT17-04-like; the default)
+  3 YOLOv4-512 + OSNet, 80 objects (MOT20 density, MOT17-03-like)
+  4 Scaled-YOLOv4 CSP 640 + OSNet, 24 objects (aerial-like sparse)
+  5 eight-stream aggregate serving (see --streams)
 """
 import json
 import os
@@ -25,16 +37,35 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_WARMUP = 12
-N_FRAMES = 120
+N_FRAMES = 240
 N_OBJECTS = 40
 SIZE = (1280, 720)
 BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
 TRACE_DIR = None     # set via --trace: xplane capture of one pass
+DETECTOR = ('YOLO', 'YOLOv4')   # (detector_type, model) — see --config
+METRIC_TAG = None               # metric-name override for --config rows
+
+CONFIGS = {
+    1: dict(detector=('SSD', 'SSDInceptionV2'), objects=24,
+            tag='fps_ssd_inception_osnet_n5',
+            baseline=42.0),   # reference MOT17-13-like sparse row
+    2: dict(detector=('YOLO', 'YOLOv4'), objects=40,
+            tag='fps_mot17_like_yolov4_osnet_n5', baseline=26.0),
+    3: dict(detector=('YOLO', 'YOLOv4'), objects=80,
+            tag='fps_mot20_density_yolov4_osnet_n5',
+            baseline=18.0),   # reference MOT17-03 row (50-80 objects)
+    4: dict(detector=('YOLO', 'YOLOv4CSP'), objects=24,
+            tag='fps_scaled_yolov4csp_osnet_n5',
+            baseline=42.0),   # sparse scenes; Scaled models have no
+                              # published reference FPS row
+    5: dict(streams=8, baseline=26.0),
+}
 
 # honest self-description of what this workload is NOT (VERDICT r2 weak #1)
-CAVEATS = ('synthetic detections spliced after the real YOLO graph; '
+CAVEATS = ('synthetic detections spliced after the real detector graph; '
            'random weights; frames pre-staged on device (dev tunnel is '
-           '~26 MB/s); value = best of 3 passes, see "passes" for variance')
+           '~26 MB/s); value = MEDIAN of 3 passes ("best" reported '
+           'separately); step_ms percentiles are enqueue-side')
 
 
 def synth_detections(frame_id, rng):
@@ -46,6 +77,12 @@ def synth_detections(frame_id, rng):
     tlbrs = np.stack([xs, ys, xs + w, ys + h], -1).astype(float)
     return make_detections(np.rint(tlbrs), np.ones(N_OBJECTS, int),
                            np.full(N_OBJECTS, 0.9))
+
+
+FRAME_PERIOD = 40   # camera drift is exactly periodic: stage 40 unique
+                    # frames and cycle them, so passes can be long (less
+                    # tunnel-noise variance on the median) without
+                    # staging hundreds of MB through the ~26 MB/s tunnel
 
 
 def main():
@@ -61,24 +98,32 @@ def main():
         .astype(np.float32), 1.5)
 
     def frame_at(i):
-        # smooth sinusoidal camera drift (no discontinuities, so camera
-        # motion estimation has a realistic job every frame)
-        dx = int(pad / 2 + pad / 2 * np.sin(i * 0.23))
-        dy = int(pad / 2 + pad / 2 * np.cos(i * 0.31))
+        # smooth sinusoidal camera drift, exactly periodic in
+        # FRAME_PERIOD (no discontinuities anywhere, including the wrap,
+        # so camera motion estimation has a realistic job every frame)
+        ph = 2 * np.pi * (i % FRAME_PERIOD) / FRAME_PERIOD
+        dx = int(pad / 2 + pad / 2 * np.sin(ph))
+        dy = int(pad / 2 + pad / 2 * np.cos(2 * ph))
         return np.ascontiguousarray(
             np.clip(base[pad + dy:pad + dy + SIZE[1],
                          pad + dx:pad + dx + SIZE[0]], 0, 255)
         ).astype(np.uint8)
 
+    det_type, det_model = DETECTOR
+    det_cfgs = {}
+    if det_type == 'YOLO':
+        det_cfgs['yolo_detector_cfg'] = {
+            'model': det_model, 'conf_thresh': 0.25, 'nms_thresh': 0.5,
+            'max_area': 800000, 'min_aspect_ratio': 1.2}
+    else:
+        det_cfgs['ssd_detector_cfg'] = {'model': det_model}
     mot = MOT(
         SIZE,
-        detector_type='YOLO',
+        detector_type=det_type,
         detector_frame_skip=5,
         class_ids=(1,),
-        yolo_detector_cfg={'model': 'YOLOv4', 'conf_thresh': 0.25,
-                           'nms_thresh': 0.5, 'max_area': 800000,
-                           'min_aspect_ratio': 1.2},
         feature_extractor_cfgs=({'model': 'OSNet025', 'batch_size': 16},),
+        **det_cfgs,
     )
 
     # splice synthetic detections after the real YOLO graph runs (random
@@ -112,7 +157,7 @@ def main():
     # (zero transfer) — uploading the synthetic stand-ins mid-loop would
     # measure the dev tunnel's ~26 ms H2D latency instead of the pipeline
     staged_dets = {i: jax.block_until_ready(synth_device(i))
-                   for i in range(N_WARMUP + N_FRAMES)
+                   for i in range(max(N_WARMUP, N_FRAMES) + 1)
                    if i % 5 == 0 or i == 0}
 
     def patched_post_dev():
@@ -126,14 +171,15 @@ def main():
     # Frames are staged on-device before timing: on production TPU hosts
     # PCIe H2D is ~10 GB/s (0.3 ms/frame), but this dev environment runs
     # the chip behind a ~26 MB/s tunnel (~100 ms/frame) which would
-    # measure the tunnel, not the pipeline. Upload once, then bench.
-    frames = [jnp.asarray(frame_at(i)) for i in range(N_WARMUP + N_FRAMES)]
+    # measure the tunnel, not the pipeline. The drift is periodic, so
+    # FRAME_PERIOD staged frames serve arbitrarily long passes.
+    frames = [jnp.asarray(frame_at(i)) for i in range(FRAME_PERIOD)]
     jax.block_until_ready(frames)
 
     # warmup: compile every kernel variant
     for i in range(N_WARMUP):
         state['i'] = i
-        mot.step(frames[i])
+        mot.step(frames[i % FRAME_PERIOD])
 
     if TRACE_DIR:
         # one traced pass for xplane kernel accounting (scripts/profile_trace.py)
@@ -141,35 +187,46 @@ def main():
             mot.reset(1 / 30.0)
             for i in range(30):
                 state['i'] = i
-                mot.step(frames[N_WARMUP + i])
+                mot.step(frames[i % FRAME_PERIOD])
             mot.tracker.sync()
         print('trace written to', TRACE_DIR, file=sys.stderr)
 
-    # best of 3 timed passes: the dev tunnel's latency fluctuates minute
-    # to minute (measured 34 vs 57 FPS for identical runs); the best pass
-    # is the stable estimate of pipeline capability, which is what the
-    # hardware delivers when the link isn't the bottleneck. All passes
-    # are reported so consumers can see the variance.
+    # 3 timed passes; the MEDIAN is the headline (the dev tunnel's
+    # latency fluctuates ~2x minute to minute, so the best pass shows
+    # what the chip delivers when the link isn't the bottleneck, but the
+    # median is the defensible number — both are reported).
     passes = []
+    step_times = []
     for _ in range(3):
         mot.reset(1 / 30.0)
         t0 = time.perf_counter()
+        tprev = t0
         for i in range(N_FRAMES):
             state['i'] = i
-            mot.step(frames[N_WARMUP + i])
+            mot.step(frames[i % FRAME_PERIOD])
+            tnow = time.perf_counter()
+            step_times.append(tnow - tprev)
+            tprev = tnow
         # drain in-flight device work before stopping the clock
         mot.tracker.sync()
         elapsed = time.perf_counter() - t0
         passes.append(round(N_FRAMES / elapsed, 2))
-    fps = max(passes)
+    fps = sorted(passes)[1]
+    st = np.sort(np.array(step_times))
+    p50 = float(st[int(0.50 * (len(st) - 1))]) * 1e3
+    p99 = float(st[int(0.99 * (len(st) - 1))]) * 1e3
     suffix = '' if N_OBJECTS == 40 else f'_{N_OBJECTS}obj'
+    metric = METRIC_TAG or f'fps_mot17_like_yolov4_osnet_n5{suffix}'
     print(json.dumps({
-        'metric': f'fps_mot17_like_yolov4_osnet_n5{suffix}',
+        'metric': metric,
         'value': round(fps, 2),
         'unit': 'fps',
         'vs_baseline': round(fps / BASELINE_FPS, 3),
         'passes': passes,
-        'median': sorted(passes)[1],
+        'median': fps,
+        'best': max(passes),
+        'step_ms_p50': round(p50, 2),
+        'step_ms_p99': round(p99, 2),
         'n_objects': N_OBJECTS,
         'caveats': CAVEATS,
     }))
@@ -252,14 +309,15 @@ def main_streams(n_streams: int):
         mot.sync()
         elapsed = time.perf_counter() - t0
         passes.append(round(n_bench * n_streams / elapsed, 2))
-    fps = max(passes)
+    fps = sorted(passes)[1]
     print(json.dumps({
         'metric': f'aggregate_fps_{n_streams}_streams_yolov4_osnet_n5',
         'value': round(fps, 2),
         'unit': 'fps',
         'vs_baseline': round(fps / BASELINE_FPS, 3),
         'passes': passes,
-        'median': sorted(passes)[1],
+        'median': fps,
+        'best': max(passes),
         'caveats': CAVEATS,
     }))
 
@@ -276,7 +334,18 @@ if __name__ == '__main__':
     ap.add_argument('--trace', default=None,
                     help='capture one pass as a jax.profiler xplane trace '
                          'into this directory (see scripts/profile_trace.py)')
+    ap.add_argument('--config', type=int, default=0, choices=range(0, 6),
+                    help='BASELINE config row 1-5 (see module docstring)')
     args = ap.parse_args()
+    if args.config:
+        cfg = CONFIGS[args.config]
+        BASELINE_FPS = cfg.get('baseline', BASELINE_FPS)
+        if 'streams' in cfg and args.streams <= 1:
+            args.streams = cfg['streams']
+        if 'detector' in cfg:
+            DETECTOR = cfg['detector']
+            METRIC_TAG = cfg['tag']
+            N_OBJECTS = cfg['objects']
     if args.objects > 0:
         N_OBJECTS = args.objects
     if args.trace:

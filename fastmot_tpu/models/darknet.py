@@ -73,7 +73,13 @@ _DN_ACTS = {
 
 
 def _space_to_depth(x):
-    """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel packing (qy, qx, c)."""
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel packing (qy, qx, c).
+
+    Kept as reshape/transpose: a strided-slice + channel-concat variant
+    (4x ``x[:, qy::2, qx::2, :]``) was tried against the v5e op trace
+    and REGRESSED the YOLO graph 2.0 -> 3.5 ms/frame — the four strided
+    reads lower to slow scalarized copies, while the 6-D transpose is a
+    single (merely mediocre, ~0.28 ms) layout shuffle."""
     n, h, w, c = x.shape
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)

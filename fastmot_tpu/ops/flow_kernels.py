@@ -44,12 +44,18 @@ KP_PER_TRACK = 32
 
 def flow_budget(n_active: int) -> int:
     """Static per-frame LK track budget. The flow cores are shape-generic
-    in the track axis; callers pad to one of two buckets so typical
-    scenes (<= 64 active tracks) keep the LK point batch half-sized while
-    MOT20-density crowds get the full cap. Two buckets = at most two
-    compiled kernel variants, chosen per frame from the host-side active
-    count (which is exact at dispatch time)."""
-    return 64 if n_active <= 64 else MAX_FLOW_TRACKS
+    in the track axis; callers pad to the smallest bucket covering the
+    host-side active count (exact at dispatch time). The LK gather is
+    row-COUNT-bound (u8 vs f16 rows measured identical), so every unused
+    track slot costs 32 gathered rows per loop iteration — finer buckets
+    buy real time on typical scenes (a 40-track MOT17 frame pads to 48,
+    not 64: ~20% fewer rows) while MOT20-density crowds still get the
+    full cap. Each bucket compiles one variant of the three gap-frame
+    kernels; the persistent XLA cache amortizes that across runs."""
+    for b in (32, 48, 64, 96):
+        if n_active <= b:
+            return b
+    return MAX_FLOW_TRACKS
 BG_KP = 256
 CELL = 8          # candidate-corner grid pitch (full-res pixels)
 BG_CELL = 4       # candidate grid pitch on the bg-scale image

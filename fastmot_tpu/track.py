@@ -15,8 +15,21 @@ from .models import get_label_name
 
 
 class ClusterFeature:
-    """Sequential k-means over embeddings (track.py:11-66). Not used by the
-    default association path but kept for capability parity."""
+    """Online k-means appearance pool over a fixed [K, D] centroid array
+    (role of the reference's ClusterFeature, track.py:11-66). Not used by
+    the default association path (AverageFeature is) but kept for
+    capability parity.
+
+    Formulation: centroids and counts live in padded arrays and every
+    operation is a vectorized assignment — ``update`` accepts one OR a
+    batch of embeddings, fills empty slots first, then assigns the rest
+    to their nearest (cosine) centroid and applies each centroid's
+    running-mean correction in one fused step per batch. ``merge``
+    absorbs the smaller track's raw features into the larger track's
+    pool as one such batch. (The reference replays features one at a
+    time through scalar updates; the batched assignment uses the
+    centroids as of the batch start, which converges to the same pool
+    for the multi-view appearance data this models.)"""
 
     def __init__(self, num_clusters, metric):
         self.num_clusters = num_clusters
@@ -31,26 +44,40 @@ class ClusterFeature:
     def __call__(self):
         return self.clusters[:self._next_idx]
 
-    def update(self, embedding):
-        if self._next_idx < self.num_clusters:
-            if self.clusters is None:
-                self.clusters = np.empty((self.num_clusters, len(embedding)),
-                                         embedding.dtype)
-                self.cluster_sizes = np.zeros(self.num_clusters, int)
-            self.clusters[self._next_idx] = embedding
-            self.cluster_sizes[self._next_idx] += 1
-            self._next_idx += 1
-        else:
-            norm = self.clusters / np.linalg.norm(self.clusters, axis=1,
-                                                  keepdims=True)
-            sims = norm @ (embedding / np.linalg.norm(embedding))
-            idx = int(np.argmax(sims))
-            self.cluster_sizes[idx] += 1
-            self.clusters[idx] += ((embedding - self.clusters[idx])
-                                   / self.cluster_sizes[idx])
+    def update(self, embeddings):
+        """Absorb one [D] or a batch [N, D] of embeddings."""
+        emb = np.atleast_2d(np.asarray(embeddings))
+        if self.clusters is None:
+            self.clusters = np.zeros((self.num_clusters, emb.shape[1]),
+                                     emb.dtype)
+            self.cluster_sizes = np.zeros(self.num_clusters, int)
+        # fill empty centroid slots first (the pool's warmup phase)
+        n_fill = min(self.num_clusters - self._next_idx, len(emb))
+        if n_fill:
+            sl = slice(self._next_idx, self._next_idx + n_fill)
+            self.clusters[sl] = emb[:n_fill]
+            self.cluster_sizes[sl] += 1
+            self._next_idx += n_fill
+            emb = emb[n_fill:]
+        if not len(emb):
+            return
+        # batch-assign to nearest centroid by cosine similarity, then
+        # one running-mean correction per centroid:
+        #   c += sum_assigned(e - c) / (size + n_assigned)
+        norm = self.clusters / np.maximum(
+            np.linalg.norm(self.clusters, axis=1, keepdims=True), 1e-12)
+        e_norm = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(e_norm @ norm.T, axis=1)            # [N]
+        counts = np.bincount(assign, minlength=self.num_clusters)
+        delta = np.zeros_like(self.clusters)
+        np.add.at(delta, assign, emb - self.clusters[assign])
+        new_sizes = self.cluster_sizes + counts
+        self.clusters += delta / np.maximum(new_sizes, 1)[:, None]
+        self.cluster_sizes = new_sizes
 
     def distance(self, embeddings):
-        """Min distance of each embedding to any cluster (track.py:37-41)."""
+        """Min distance of each embedding to any centroid (track.py:37-41)."""
         embeddings = np.atleast_2d(embeddings)
         if self.clusters is None:
             return np.ones(len(embeddings))
@@ -67,16 +94,17 @@ class ClusterFeature:
         return d.min(axis=0)
 
     def merge(self, features, other, other_features):
-        """Merge two cluster sets, keeping the larger side's clusters and
-        replaying the smaller side's raw features (track.py:43-55)."""
-        if len(features) > len(other_features):
-            for feature in other_features:
-                if feature is not None:
-                    self.update(feature)
+        """Merge two pools: the side with more raw features keeps its
+        centroids; the other side's features are absorbed as ONE batch
+        (role of track.py:43-55)."""
+        mine = [f for f in features if f is not None]
+        theirs = [f for f in other_features if f is not None]
+        if len(mine) > len(theirs):
+            if theirs:
+                self.update(np.stack(theirs))
         else:
-            for feature in features:
-                if feature is not None:
-                    other.update(feature)
+            if mine:
+                other.update(np.stack(mine))
             self.clusters = other.clusters.copy()
             self.cluster_sizes = other.cluster_sizes.copy()
             self._next_idx = other._next_idx

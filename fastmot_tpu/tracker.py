@@ -347,6 +347,31 @@ _gap_commit_kernel = partial(
 )(_gap_commit_core)
 
 
+def _lk_commit_core(cfg: KalmanConfig, spec, age_penalty: float,
+                    confirm_hits: int,
+                    prev_pyr, prev_tabs, cur_pyr, cur_tabs,
+                    all_prev, all_valid, state,
+                    inside, f_tlbrs, f_valid, forder, seed,
+                    trans, acc_cov, frame_tlbr):
+    """LK + RANSAC/KF/commit in ONE dispatch (gap frame: 3 -> 2
+    enqueues). The LK while-loop tolerates this fusion — unlike the
+    round-2 full-gap fusion — because the big table BUILD stays in the
+    preceding kernel; commit's RANSAC/smallmat work is loop-free and
+    only consumes the loop's output."""
+    from .ops import flow_kernels as fk
+    all_cur, status = fk.lk_core(spec, prev_pyr, prev_tabs, cur_pyr,
+                                 cur_tabs, all_prev, all_valid)
+    return _gap_commit_core(cfg, spec, age_penalty, confirm_hits, state,
+                            inside, f_tlbrs, f_valid, forder,
+                            all_prev, all_cur, status, seed,
+                            trans, acc_cov, frame_tlbr)
+
+
+_lk_commit_kernel = partial(
+    jax.jit, static_argnames=('cfg', 'spec', 'age_penalty', 'confirm_hits')
+)(_lk_commit_core)
+
+
 def _assoc_forbid(max_assoc_cost: float, iou_gate: float,
                   fill_val: float) -> float:
     """Forbidden-entry level for the cascade's auctions.
@@ -1081,22 +1106,20 @@ class MultiTracker:
                            n_active - fk.MAX_FLOW_TRACKS)
         f_cap = fk.flow_budget(n_active)
 
-        # four chained dispatches (zero host reads): preprocess, point
-        # assembly, pyramidal LK in its own small kernel, then
-        # RANSAC/KF/commit — see the _gap_points_core comment block
+        # two chained dispatches (zero host reads): preprocess + point
+        # assembly, then pyramidal LK + RANSAC/KF/commit — see the
+        # _gap_points_core and _lk_commit_core comment blocks
         spec = self.flow.spec
         prev_state = self.flow.device_state
         (cur_state, all_prev, all_valid, inside, forder, f_tlbrs,
          f_valid) = _gap_pre_kernel(spec, jnp.asarray(frame),
                                     self._dev_state, prev_state,
                                     f_cap=f_cap)
-        all_cur, status = _lk_kernel(
-            spec, prev_state[0], prev_state[1], cur_state[0], cur_state[1],
-            all_prev, all_valid)
-        new_state, info, next_seed = _gap_commit_kernel(
+        new_state, info, next_seed = _lk_commit_kernel(
             self.kf_cfg, spec, float(self.age_penalty), self.confirm_hits,
-            self._dev_state, inside, f_tlbrs, f_valid, forder,
-            all_prev, all_cur, status, self.flow.seed_dev,
+            prev_state[0], prev_state[1], cur_state[0], cur_state[1],
+            all_prev, all_valid, self._dev_state,
+            inside, f_tlbrs, f_valid, forder, self.flow.seed_dev,
             self._trans_mat, self._acc_cov, self._frame_rect_dev)
         self._dev_state = new_state
         self.flow.advance(cur_state, next_seed)
@@ -1178,7 +1201,7 @@ class MultiTracker:
         # hint comes from the most recently applied association info)
         n_active = sum(1 for t in self.tracks.values() if t.active)
         est = max(n_active, self._det_count_hint)
-        emb_cap = 64 if (est <= 48 and d_cap > 64) else d_cap
+        emb_cap = 64 if (est <= 56 and d_cap > 64) else d_cap
 
         n_depth = (self.max_age + 2) // 2
         fill_val = min(self.max_assoc_cost + 0.1, 1.0)

@@ -36,13 +36,21 @@ def test_flow_budget_covers_mot20_density(rng):
     """MOT20 density (BASELINE config 3: 50-80 objects/frame) fits the
     flow budget with ZERO clipping: MAX_FLOW_TRACKS == MAX_TRACKS, so
     every live track participates in KLT gap-fill (reference flow.py is
-    uncapped). The per-frame budget buckets to 64/128 so sparse scenes
-    keep the half-sized LK point batch."""
+    uncapped). The per-frame budget buckets to {32,48,64,96,128} so
+    typical scenes keep a right-sized LK point batch (the gather is
+    row-count-bound)."""
     assert fk.MAX_FLOW_TRACKS >= MAX_TRACKS
-    assert fk.flow_budget(0) == 64
+    assert fk.flow_budget(0) == 32
+    assert fk.flow_budget(40) == 48
     assert fk.flow_budget(64) == 64
-    assert fk.flow_budget(65) == fk.MAX_FLOW_TRACKS
-    assert fk.flow_budget(80) == fk.MAX_FLOW_TRACKS
+    assert fk.flow_budget(65) == 96
+    assert fk.flow_budget(97) == fk.MAX_FLOW_TRACKS
+    # monotone and always covering
+    prev = 0
+    for n in range(0, MAX_TRACKS + 1):
+        b = fk.flow_budget(n)
+        assert b >= n and b >= prev
+        prev = b
 
     trk = _tracker()
     frame = rng.integers(0, 255, (SIZE[1], SIZE[0], 3), np.uint8)

@@ -157,3 +157,37 @@ def test_camera_motion_failure_clears_tracks():
     trk.flow = FailFlow()
     trk.compute_flow(frame)
     assert len(trk.tracks) == 0
+
+
+def test_cluster_feature_pool():
+    """Vectorized online-k-means pool (capability parity with the
+    reference's ClusterFeature, track.py:11-66): warmup fill, batched
+    nearest-centroid absorption with running-mean counts, min-distance
+    query, and larger-side-wins merge."""
+    from fastmot_tpu.track import ClusterFeature
+
+    rng = np.random.default_rng(0)
+    a = ClusterFeature(4, 'cosine')
+    # two well-separated appearance modes
+    m1 = np.array([1.0, 0.0, 0.0, 0.0])
+    m2 = np.array([0.0, 1.0, 0.0, 0.0])
+    f1 = [m1 + rng.normal(0, 0.01, 4) for _ in range(6)]
+    f2 = [m2 + rng.normal(0, 0.01, 4) for _ in range(6)]
+    for f in f1[:2] + f2[:2]:
+        a.update(f)
+    assert len(a) == 4
+    a.update(np.stack(f1[2:] + f2[2:]))          # batched absorption
+    assert a.cluster_sizes.sum() == 12
+    # queries near each mode are close; an orthogonal one is far
+    d = a.distance(np.stack([m1, m2, np.array([0, 0, 1.0, 0])]))
+    assert d[0] < 0.05 and d[1] < 0.05 and d[2] > 0.5
+
+    # merge: the side with more raw features keeps its centroids
+    b = ClusterFeature(4, 'cosine')
+    f3 = [np.array([0.0, 0.0, 0.0, 1.0]) + rng.normal(0, 0.01, 4)
+          for _ in range(2)]
+    for f in f3:
+        b.update(f)
+    b.merge(f3, a, f1 + f2)                      # a is larger: b adopts a
+    assert b.cluster_sizes.sum() == 14
+    assert b.distance(np.stack([m1]))[0] < 0.1
