@@ -408,20 +408,25 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         steps = steps + active.astype(jnp.int32)
         active = active & inv_ok & still1 & (steps < spec.iters)
 
-        # step 2 — exact resample from the SAME rows when the stepped
-        # position keeps the anchor cell (floor unchanged after clip)
-        x2 = jnp.clip(p[:, 0] + v[:, 0], 0.0, wf - 1.001)
-        y2 = jnp.clip(p[:, 1] + v[:, 1], 0.0, hf - 1.001)
-        same = (jnp.floor(x2).astype(jnp.int32) == x0) & \
-               (jnp.floor(y2).astype(jnp.int32) == y0)
-        do2 = active & same
-        step2, e2 = gn_math(x2 - x0, y2 - y0)
-        err = jnp.where(do2, e2, err)
-        v = v + jnp.where(do2[:, None], step2, 0.0)
-        still2 = jnp.sum(step2 * step2, axis=1) >= eps2
-        steps = steps + do2.astype(jnp.int32)
-        active = jnp.where(do2, active & still2 & (steps < spec.iters),
-                           active)
+        # steps 2..4 — exact resamples from the SAME rows while the
+        # stepped position keeps the anchor cell (floor unchanged after
+        # clip). Near convergence steps are subpixel, so most gathers
+        # serve several exact Gauss-Newton steps; each extra step is
+        # ~5 us of VPU math vs ~29 us for a fresh gather trip. Per-point
+        # step budgets keep the cv2 COUNT criterion exact.
+        for _ in range(3):
+            x2 = jnp.clip(p[:, 0] + v[:, 0], 0.0, wf - 1.001)
+            y2 = jnp.clip(p[:, 1] + v[:, 1], 0.0, hf - 1.001)
+            same = (jnp.floor(x2).astype(jnp.int32) == x0) & \
+                   (jnp.floor(y2).astype(jnp.int32) == y0)
+            do2 = active & same
+            step2, e2 = gn_math(x2 - x0, y2 - y0)
+            err = jnp.where(do2, e2, err)
+            v = v + jnp.where(do2[:, None], step2, 0.0)
+            still2 = jnp.sum(step2 * step2, axis=1) >= eps2
+            steps = steps + do2.astype(jnp.int32)
+            active = jnp.where(do2, active & still2 & (steps < spec.iters),
+                               active)
 
         it = it + 1
         # level complete -> fold the eigen gate into ok, seed the next

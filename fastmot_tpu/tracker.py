@@ -969,6 +969,37 @@ _finals_commit_kernel = partial(jax.jit, static_argnames=(
     'max_age', 'history_size'))(_finals_commit_core)
 
 
+def _scan_finals_commit_core(cfg: KalmanConfig, n_depth: int,
+                             conf_thresh: float, max_reid_cost: float,
+                             dup_gate: float, confirm_hits: int,
+                             max_age: int, history_size: int,
+                             eps: float, forbid: float,
+                             cost, iou_cost, depth_masks, base_iou_active,
+                             base_unconfirmed, u_det, col4row,
+                             state, hist, d_tlbrs, d_labels, d_conf,
+                             d_valid, d_emb, frame_id, frame_tlbr,
+                             reid_cost, h_reid_ok, occluded):
+    """Cascade stage scan + greedy finals + lifecycle commit in ONE
+    dispatch (association frame: 3 -> 2 enqueues). Downstream fusion —
+    same pattern as _lk_commit_core: the finals/commit work is loop-free
+    and only consumes the scan's (u_det, col4row) output, so the scan's
+    single solver body keeps its standalone working set."""
+    u_det, col4row = _stages_scan_core(
+        n_depth, cost, iou_cost, depth_masks, base_iou_active,
+        base_unconfirmed, u_det, col4row, eps=eps, forbid=forbid)
+    return _finals_commit_core(
+        cfg, conf_thresh, max_reid_cost, dup_gate, confirm_hits,
+        max_age, history_size, state, hist, d_tlbrs, d_labels, d_conf,
+        d_valid, d_emb, frame_id, frame_tlbr,
+        reid_cost, h_reid_ok, occluded, u_det, col4row)
+
+
+_scan_finals_commit_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'n_depth', 'conf_thresh', 'max_reid_cost', 'dup_gate',
+    'confirm_hits', 'max_age', 'history_size', 'eps',
+    'forbid'))(_scan_finals_commit_core)
+
+
 class MultiTracker:
     """Tracks multiple objects, associating detections by motion and
     appearance. Public surface matches the reference (tracker.py:18-135)."""
@@ -1238,18 +1269,26 @@ class MultiTracker:
             u_det, col4row = _stage_kernel(
                 False, iou_cost, base_unconf, u_det, col4row,
                 eps=self.assoc_eps, forbid=forbid)
+            new_state, new_hist, info = _finals_commit_kernel(
+                self.kf_cfg, self.conf_thresh, self.max_reid_cost,
+                1.0 - self.duplicate_thresh, self.confirm_hits,
+                self.max_age, self.history_size, self._dev_state,
+                self._hist_store, d_tlbrs_dev, d_labels_dev, d_conf_dev,
+                d_valid_dev, emb_dev, np.int32(frame_id),
+                self._frame_rect_dev, reid_cost, h_reid_ok, occluded,
+                u_det, col4row)
         else:
-            u_det, col4row = _stages_scan_kernel(
-                n_depth, cost, iou_cost, depth_masks, base_iou_active,
-                base_unconf, u_det, col4row, eps=self.assoc_eps,
-                forbid=forbid)
-        new_state, new_hist, info = _finals_commit_kernel(
-            self.kf_cfg, self.conf_thresh, self.max_reid_cost,
-            1.0 - self.duplicate_thresh, self.confirm_hits, self.max_age,
-            self.history_size, self._dev_state, self._hist_store,
-            d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev, emb_dev,
-            np.int32(frame_id), self._frame_rect_dev,
-            reid_cost, h_reid_ok, occluded, u_det, col4row)
+            # scan + finals + commit fused: 2 dispatches per association
+            # frame total (see _scan_finals_commit_core)
+            new_state, new_hist, info = _scan_finals_commit_kernel(
+                self.kf_cfg, n_depth, self.conf_thresh, self.max_reid_cost,
+                1.0 - self.duplicate_thresh, self.confirm_hits,
+                self.max_age, self.history_size, self.assoc_eps, forbid,
+                cost, iou_cost, depth_masks, base_iou_active, base_unconf,
+                u_det, col4row, self._dev_state, self._hist_store,
+                d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
+                emb_dev, np.int32(frame_id), self._frame_rect_dev,
+                reid_cost, h_reid_ok, occluded)
         self._dev_state = new_state
         self._hist_store = new_hist
         self._pending.append(('assoc', {'frame_id': frame_id,
