@@ -106,10 +106,21 @@ def main():
                           f'{tl[0]:.6f},{tl[1]:.6f},{w:.6f},{h:.6f},'
                           f'-1,-1,-1\n')
 
+    # offline throughput mode: file/image sources block rather than drop
+    # (reference videoio.py:240-254), so batching whole detector-skip
+    # cycles through MOT.step_batch costs no correctness and removes
+    # per-gap-frame dispatch round trips (identical txt output; see
+    # tests/test_step_batch.py). Live sources keep per-frame stepping
+    # for latency; so does anything that renders frames.
+    offline = (args.mot and not stream.is_live and not args.show
+               and args.output_uri is None)
+    cycle = mot.detector_frame_skip if args.mot else 1
+
     logger.info('Starting video capture...')
     stream.start_capture()
     try:
         with Profiler('app') as prof:
+            batch = []
             while True:
                 frame = stream.read()
                 if frame is None:
@@ -118,6 +129,16 @@ def main():
                     import cv2
                     if cv2.getWindowProperty('Video', 0) < 0:
                         break
+
+                if offline:
+                    batch.append(frame)
+                    if len(batch) == cycle:
+                        mot.step_batch(batch)
+                        batch = []
+                    if txt is not None and \
+                            mot.frame_count % TXT_FLUSH_FRAMES < cycle:
+                        flush_txt()
+                    continue
 
                 if args.mot:
                     mot.step(frame)
@@ -132,6 +153,8 @@ def main():
                         break
                 if args.output_uri is not None:
                     stream.write(frame)
+            if offline and batch:
+                mot.step_batch(batch)
     finally:
         if txt is not None:
             if args.mot:

@@ -44,6 +44,9 @@ BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
 TRACE_DIR = None     # set via --trace: xplane capture of one pass
 DETECTOR = ('YOLO', 'YOLOv4')   # (detector_type, model) — see --config
 METRIC_TAG = None               # metric-name override for --config rows
+CHAIN = True                    # offline/file mode: whole skip cycles via
+                                # MOT.step_batch (app.py uses the same path
+                                # for file sources); --no-chain = live path
 
 CONFIGS = {
     1: dict(detector=('SSD', 'SSDInceptionV2'), objects=24,
@@ -65,7 +68,11 @@ CONFIGS = {
 CAVEATS = ('synthetic detections spliced after the real detector graph; '
            'random weights; frames pre-staged on device (dev tunnel is '
            '~26 MB/s); value = MEDIAN of 3 passes ("best" reported '
-           'separately); step_ms percentiles are enqueue-side')
+           'separately); step_ms percentiles are enqueue-side and '
+           'cycle-amortized (gap frames chained per skip cycle — the '
+           'file-source mode app.py uses; bytewise-identical outputs, '
+           'tests/test_step_batch.py; pass --no-chain for the '
+           'per-frame live-source path)')
 
 
 def synth_detections(frame_id, rng):
@@ -168,6 +175,25 @@ def main():
     mot.detector.postprocess_device = patched_post_dev
     mot.reset(1 / 30.0)
 
+    def run_span(lo, hi, on_step=None):
+        """Drive frames [lo, hi) the way app.py does for file sources:
+        chained skip cycles through step_batch (CHAIN=True, the offline
+        mode measured here — file processing is also what the
+        reference's FPS rows measure), or per-frame step (--no-chain,
+        the live-source path)."""
+        i = lo
+        while i < hi:
+            k = min(5, hi - i) if CHAIN else 1
+            state['i'] = i
+            if CHAIN:
+                mot.step_batch([frames[j % FRAME_PERIOD]
+                                for j in range(i, i + k)])
+            else:
+                mot.step(frames[i % FRAME_PERIOD])
+            if on_step is not None:
+                on_step(k)
+            i += k
+
     # Frames are staged on-device before timing: on production TPU hosts
     # PCIe H2D is ~10 GB/s (0.3 ms/frame), but this dev environment runs
     # the chip behind a ~26 MB/s tunnel (~100 ms/frame) which would
@@ -176,18 +202,14 @@ def main():
     frames = [jnp.asarray(frame_at(i)) for i in range(FRAME_PERIOD)]
     jax.block_until_ready(frames)
 
-    # warmup: compile every kernel variant
-    for i in range(N_WARMUP):
-        state['i'] = i
-        mot.step(frames[i % FRAME_PERIOD])
+    # warmup: compile every kernel variant (same mode as the timed loop)
+    run_span(0, N_WARMUP)
 
     if TRACE_DIR:
         # one traced pass for xplane kernel accounting (scripts/profile_trace.py)
         with jax.profiler.trace(TRACE_DIR):
             mot.reset(1 / 30.0)
-            for i in range(30):
-                state['i'] = i
-                mot.step(frames[i % FRAME_PERIOD])
+            run_span(0, 30)
             mot.tracker.sync()
         print('trace written to', TRACE_DIR, file=sys.stderr)
 
@@ -201,12 +223,16 @@ def main():
         mot.reset(1 / 30.0)
         t0 = time.perf_counter()
         tprev = t0
-        for i in range(N_FRAMES):
-            state['i'] = i
-            mot.step(frames[i % FRAME_PERIOD])
+
+        def record(k):
+            nonlocal tprev
             tnow = time.perf_counter()
-            step_times.append(tnow - tprev)
+            # cycle-amortized per-frame time in chained mode (k = frames
+            # enqueued by this call)
+            step_times.append((tnow - tprev) / k)
             tprev = tnow
+
+        run_span(0, N_FRAMES, on_step=record)
         # drain in-flight device work before stopping the clock
         mot.tracker.sync()
         elapsed = time.perf_counter() - t0
@@ -336,7 +362,12 @@ if __name__ == '__main__':
                          'into this directory (see scripts/profile_trace.py)')
     ap.add_argument('--config', type=int, default=0, choices=range(0, 6),
                     help='BASELINE config row 1-5 (see module docstring)')
+    ap.add_argument('--no-chain', action='store_true',
+                    help='per-frame stepping (live-source path) instead '
+                         'of chained skip cycles (file-source path)')
     args = ap.parse_args()
+    if args.no_chain:
+        CHAIN = False
     if args.config:
         cfg = CONFIGS[args.config]
         BASELINE_FPS = cfg.get('baseline', BASELINE_FPS)

@@ -175,6 +175,42 @@ class MOT:
             self._draw(frame, detections)
         self.frame_count += 1
 
+    def step_batch(self, frames):
+        """Process several frames at once — the offline/file-mode fast
+        path. Semantically identical to ``for f in frames: step(f)``
+        (same schedule, same outputs, byte-identical txt), but runs of
+        consecutive tracking-only frames go through
+        ``tracker.track_chain`` — TWO device dispatches per run instead
+        of two per frame. Worth using whenever the source is a file or
+        image sequence (those block rather than drop, so batching adds
+        no correctness divergence — reference videoio.py:240-254
+        semantics); live sources should keep per-frame ``step`` for
+        latency. Falls back to per-frame stepping when drawing (draw
+        reads per-frame track state)."""
+        if self.draw:
+            for frame in frames:
+                self.step(frame)
+            return
+        gap_buf = []
+
+        def flush():
+            if not gap_buf:
+                return
+            with Profiler('track'):
+                self.tracker.track_chain(
+                    [f for f, _ in gap_buf], [i for _, i in gap_buf])
+            gap_buf.clear()
+
+        for frame in frames:
+            if self.frame_count == 0 or \
+                    self.frame_count % self.detector_frame_skip == 0:
+                flush()
+                self.step(frame)
+            else:
+                gap_buf.append((frame, self.frame_count))
+                self.frame_count += 1
+        flush()
+
     @staticmethod
     def print_timing_info():
         LOGGER.debug('=================Timing Stats=================')

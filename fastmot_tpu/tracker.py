@@ -372,6 +372,63 @@ _lk_commit_kernel = partial(
 )(_lk_commit_core)
 
 
+# ---------------------------------------------------------------------------
+# Chained gap frames (offline/file mode): K consecutive tracking-only
+# frames in TWO dispatches instead of 2K. Dispatch 1 preprocesses ALL K
+# frames (vmapped pyramid + window-table builds — loop-free, so batching
+# them is safe); dispatch 2 is one lax.scan whose body is points + LK +
+# commit — the exact fusion shape _lk_commit_core already proved the LK
+# while-loop tolerates (the big table builds stay upstream). On a
+# dispatch-latency-bound link (the dev tunnel: 0.03-1 ms per enqueue RPC)
+# this halves the per-gap-frame enqueue cost again; on production hosts
+# it removes per-frame launch overhead. Outputs are identical to K
+# sequential track() calls — the host never sat between gap frames
+# anyway (all decisions were already device-resident and deferred).
+# ---------------------------------------------------------------------------
+
+def _gap_chain_pre_core(spec, *frames):
+    """Stack + preprocess K frames in ONE dispatch (frames arrive as
+    separate args so the stack fuses into the kernel instead of being
+    its own enqueue)."""
+    from .ops import flow_kernels as fk
+    stacked = jnp.stack(frames)
+    return jax.vmap(lambda f: fk._preprocess_jit(spec, f))(stacked)
+
+
+_gap_chain_pre_kernel = partial(
+    jax.jit, static_argnames=('spec',))(_gap_chain_pre_core)
+
+
+def _gap_chain_core(cfg: KalmanConfig, spec, age_penalty: float,
+                    confirm_hits: int, f_cap: int,
+                    cur_states, flow_state, state, seed,
+                    trans, acc_cov, frame_tlbr):
+    """lax.scan over the per-gap-frame body: point assembly from the
+    previous frame's state, pyramidal LK, RANSAC/KF/commit. The carry
+    threads (prev flow state, tracker state, RNG seed); xs are the K
+    preprocessed frame states; ys stack the K per-frame info vectors."""
+
+    def body(carry, cur_state):
+        prev_flow, st, sd = carry
+        all_prev, all_valid, inside, forder, f_tlbrs, f_valid = \
+            _gap_points_core(spec, st, prev_flow, f_cap)
+        new_st, info, next_sd = _lk_commit_core(
+            cfg, spec, age_penalty, confirm_hits,
+            prev_flow[0], prev_flow[1], cur_state[0], cur_state[1],
+            all_prev, all_valid, st,
+            inside, f_tlbrs, f_valid, forder, sd,
+            trans, acc_cov, frame_tlbr)
+        return (cur_state, new_st, next_sd), info
+
+    (flow_f, state_f, seed_f), infos = jax.lax.scan(
+        body, (flow_state, state, seed), cur_states)
+    return state_f, flow_f, seed_f, infos
+
+
+_gap_chain_kernel = partial(jax.jit, static_argnames=(
+    'cfg', 'spec', 'age_penalty', 'confirm_hits', 'f_cap'))(_gap_chain_core)
+
+
 def _assoc_forbid(max_assoc_cost: float, iou_gate: float,
                   fill_val: float) -> float:
     """Forbidden-entry level for the cascade's auctions.
@@ -1157,6 +1214,43 @@ class MultiTracker:
         self._pending.append(('gap', {'slot_ids': list(self._slot_ids),
                                       'frame_id': frame_id}, info))
 
+    def track_chain(self, frames, frame_ids):
+        """K consecutive tracking-only frames in TWO dispatches (the
+        offline/file-mode fast path; see the _gap_chain_core comment
+        block). Semantically identical to ``for f, i in zip(frames,
+        frame_ids): self.track(f, i)`` — gap-frame decisions were
+        already device-resident and deferred, so chaining only removes
+        enqueue round trips, not host observation points.
+
+        ``frames`` is a sequence of [H, W, 3] uint8 arrays (host or
+        device)."""
+        if self.flow.device_state is None or len(frames) == 1:
+            for f, fid in zip(frames, frame_ids):
+                self.track(f, fid)
+            return
+        if self._dev_state is None or self._mirrors_dirty:
+            self._upload_state()
+        from .ops import flow_kernels as fk
+        n_active = sum(1 for t in self.tracks.values() if t.active)
+        self.overflow.bump('flow_tracks_clipped',
+                           (n_active - fk.MAX_FLOW_TRACKS) * len(frames))
+        f_cap = fk.flow_budget(n_active)
+
+        spec = self.flow.spec
+        cur_states = _gap_chain_pre_kernel(
+            spec, *[jnp.asarray(f) for f in frames])
+        new_state, flow_f, next_seed, infos = _gap_chain_kernel(
+            self.kf_cfg, spec, float(self.age_penalty), self.confirm_hits,
+            f_cap, cur_states, self.flow.device_state, self._dev_state,
+            self.flow.seed_dev, self._trans_mat, self._acc_cov,
+            self._frame_rect_dev)
+        self._dev_state = new_state
+        self.flow.advance(flow_f, next_seed)
+        self.flow._frame_count += len(frames) - 1
+        self._pending.append(
+            ('gap_chain', {'slot_ids': list(self._slot_ids),
+                           'frame_ids': list(frame_ids)}, infos))
+
     # -- association ----------------------------------------------------------
 
     def update(self, frame_id, detections, embeddings):
@@ -1312,7 +1406,17 @@ class MultiTracker:
             return result
         if infos is None:
             infos = jax.device_get([info for _, _, info in pending])
-        for k, ((kind, meta, _), flat) in enumerate(zip(pending, infos)):
+        # expand chained gap entries into per-frame replays (the stacked
+        # [K, L] info was fetched as one array above; rows split on host)
+        entries = []
+        for (kind, meta, _), flat in zip(pending, infos):
+            if kind == 'gap_chain':
+                for t, fid in enumerate(meta['frame_ids']):
+                    entries.append((('gap', {'slot_ids': meta['slot_ids'],
+                                             'frame_id': fid}), flat[t]))
+            else:
+                entries.append(((kind, meta), flat))
+        for k, ((kind, meta), flat) in enumerate(entries):
             if kind == 'gap':
                 self._apply_gap_info(meta, flat)
             elif kind == 'assoc':
@@ -1320,8 +1424,8 @@ class MultiTracker:
             # 'mark' entries carry no device work (init frames)
             if snapshots:
                 fid = meta.get('frame_id')
-                nxt = pending[k + 1][1].get('frame_id') \
-                    if k + 1 < len(pending) else None
+                nxt = entries[k + 1][0][1].get('frame_id') \
+                    if k + 1 < len(entries) else None
                 if fid is not None and fid != nxt:
                     result[fid] = [
                         (t.trk_id, t.tlbr.copy())
