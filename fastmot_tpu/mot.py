@@ -181,7 +181,11 @@ class MOT:
         (same schedule, same outputs, byte-identical txt), but runs of
         consecutive tracking-only frames go through
         ``tracker.track_chain`` — TWO device dispatches per run instead
-        of two per frame. Worth using whenever the source is a file or
+        of two per frame, and (on the all-device association path) the
+        DETECTION frame's flow is folded into the same chain: the
+        detector graph is dispatched first so it overlaps the chained
+        flow on device, and the whole skip cycle costs six enqueues
+        instead of ten. Worth using whenever the source is a file or
         image sequence (those block rather than drop, so batching adds
         no correctness divergence — reference videoio.py:240-254
         semantics); live sources should keep per-frame ``step`` for
@@ -191,6 +195,8 @@ class MOT:
             for frame in frames:
                 self.step(frame)
             return
+        device_path = (len(self.extractors) == 1
+                       and hasattr(self.detector, 'postprocess_device'))
         gap_buf = []
 
         def flush():
@@ -202,10 +208,26 @@ class MOT:
             gap_buf.clear()
 
         for frame in frames:
-            if self.frame_count == 0 or \
-                    self.frame_count % self.detector_frame_skip == 0:
+            if self.frame_count == 0:
                 flush()
                 self.step(frame)
+            elif self.frame_count % self.detector_frame_skip == 0:
+                if not device_path:
+                    flush()
+                    self.step(frame)
+                    continue
+                frame_dev = jnp.asarray(frame)
+                with Profiler('preproc'):
+                    self.detector.detect_async(frame_dev)
+                gap_buf.append((frame_dev, self.frame_count))
+                with Profiler('detect'):
+                    flush()
+                    det_dev = self.detector.postprocess_device()
+                with Profiler('assoc'):
+                    self.tracker.update_device_fused(
+                        self.frame_count, frame_dev, det_dev,
+                        self.extractors[0])
+                self.frame_count += 1
             else:
                 gap_buf.append((frame, self.frame_count))
                 self.frame_count += 1

@@ -395,10 +395,6 @@ def _gap_chain_pre_core(spec, *frames):
     return jax.vmap(lambda f: fk._preprocess_jit(spec, f))(stacked)
 
 
-_gap_chain_pre_kernel = partial(
-    jax.jit, static_argnames=('spec',))(_gap_chain_pre_core)
-
-
 def _gap_chain_core(cfg: KalmanConfig, spec, age_penalty: float,
                     confirm_hits: int, f_cap: int,
                     cur_states, flow_state, state, seed,
@@ -427,6 +423,18 @@ def _gap_chain_core(cfg: KalmanConfig, spec, age_penalty: float,
 
 _gap_chain_kernel = partial(jax.jit, static_argnames=(
     'cfg', 'spec', 'age_penalty', 'confirm_hits', 'f_cap'))(_gap_chain_core)
+
+
+_gap_chain_pre_kernel = partial(
+    jax.jit, static_argnames=('spec',))(_gap_chain_pre_core)
+
+# NOTE (round 4, measured): fusing _gap_chain_pre_core INTO
+# _gap_chain_core (one dispatch for preprocess + scan) looked like a
+# free enqueue saved, but regressed the bench 186 -> 49 FPS median:
+# with the K stacked frame pyramids/gradient/window tables live as the
+# scan's xs inside one kernel, XLA keeps the whole K-frame table set
+# resident and the scan body's LK while-loop loses its standalone
+# buffer reuse. Keep preprocess and scan as TWO dispatches.
 
 
 def _assoc_forbid(max_assoc_cost: float, iou_gate: float,
@@ -1057,6 +1065,48 @@ _scan_finals_commit_kernel = partial(jax.jit, static_argnames=(
     'forbid'))(_scan_finals_commit_core)
 
 
+def _assoc_frame_core(module, out_hw, emb_cap: int, cfg: KalmanConfig,
+                      metric: dist.Metric, n_depth: int,
+                      motion_weight: float, max_assoc_cost: float,
+                      iou_gate: float, fill_val: float,
+                      occlusion_thresh: float, confirm_hits: int,
+                      conf_thresh: float, max_reid_cost: float,
+                      dup_gate: float, max_age: int, history_size: int,
+                      eps: float, forbid: float,
+                      params, frame, state, hist,
+                      d_tlbrs, d_labels, d_conf, d_valid,
+                      frame_id, frame_tlbr):
+    """The WHOLE association frame in ONE dispatch: crop-resize + OSNet
+    + L2 + cost build (loop-free, _extract_costs_core) feeding the stage
+    scan + finals + lifecycle commit (_scan_finals_commit_core). Same
+    upstream-fusion shape as _lk_commit_core: the auction scan's solver
+    body only consumes the extract half's outputs, so its working set
+    stays standalone-sized while the big OSNet graph fuses upstream.
+    Association frame: 2 -> 1 enqueues."""
+    costs, d_emb = _extract_costs_core(
+        module, out_hw, emb_cap, cfg, metric, n_depth, motion_weight,
+        max_assoc_cost, iou_gate, fill_val, occlusion_thresh,
+        confirm_hits, params, frame, state, hist,
+        d_tlbrs, d_labels, d_conf, d_valid)
+    (cost, iou_cost, reid_cost, occluded, h_reid_ok, depth_masks,
+     base_iou_active, base_unconf, u_det, col4row) = costs
+    return _scan_finals_commit_core(
+        cfg, n_depth, conf_thresh, max_reid_cost, dup_gate, confirm_hits,
+        max_age, history_size, eps, forbid,
+        cost, iou_cost, depth_masks, base_iou_active, base_unconf,
+        u_det, col4row, state, hist, d_tlbrs, d_labels, d_conf,
+        d_valid, d_emb, frame_id, frame_tlbr,
+        reid_cost, h_reid_ok, occluded)
+
+
+_assoc_frame_kernel = partial(jax.jit, static_argnames=(
+    'module', 'out_hw', 'emb_cap', 'cfg', 'metric', 'n_depth',
+    'motion_weight', 'max_assoc_cost', 'iou_gate', 'fill_val',
+    'occlusion_thresh', 'confirm_hits', 'conf_thresh', 'max_reid_cost',
+    'dup_gate', 'max_age', 'history_size', 'eps',
+    'forbid'))(_assoc_frame_core)
+
+
 class MultiTracker:
     """Tracks multiple objects, associating detections by motion and
     appearance. Public surface matches the reference (tracker.py:18-135)."""
@@ -1330,6 +1380,29 @@ class MultiTracker:
 
         n_depth = (self.max_age + 2) // 2
         fill_val = min(self.max_assoc_cost + 0.1, 1.0)
+        if not os.environ.get('FASTMOT_SPLIT_ASSOC'):
+            # whole association frame as ONE kernel (extract + costs +
+            # stage scan + finals + commit — see _assoc_frame_core)
+            forbid = _assoc_forbid(self.max_assoc_cost,
+                                   1.0 - self.iou_thresh, fill_val)
+            new_state, new_hist, info = _assoc_frame_kernel(
+                extractor.module, extractor._out_hw, emb_cap,
+                self.kf_cfg, self.metric, n_depth, self.motion_weight,
+                self.max_assoc_cost, 1.0 - self.iou_thresh, fill_val,
+                self.occlusion_thresh, self.confirm_hits,
+                self.conf_thresh, self.max_reid_cost,
+                1.0 - self.duplicate_thresh, self.max_age,
+                self.history_size, self.assoc_eps, forbid,
+                extractor.params, frame_dev, self._dev_state,
+                self._hist_store,
+                d_tlbrs_dev, d_labels_dev, d_conf_dev, d_valid_dev,
+                np.int32(frame_id), self._frame_rect_dev)
+            self._dev_state = new_state
+            self._hist_store = new_hist
+            self._pending.append(('assoc', {'frame_id': frame_id,
+                                            'host_emb': None,
+                                            'emb_cap': emb_cap}, info))
+            return
         costs, emb_dev = _extract_costs_kernel(
             extractor.module, extractor._out_hw, emb_cap,
             self.kf_cfg, self.metric, n_depth, self.motion_weight,
