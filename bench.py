@@ -44,6 +44,8 @@ BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
 TRACE_DIR = None     # set via --trace: xplane capture of one pass
 DETECTOR = ('YOLO', 'YOLOv4')   # (detector_type, model) — see --config
 METRIC_TAG = None               # metric-name override for --config rows
+INT8 = False                    # --int8: native s8xs8->s32 convs (dynamic
+                                # ranges — no calibration data ships here)
 CHAIN = True                    # offline/file mode: whole skip cycles via
                                 # MOT.step_batch (app.py uses the same path
                                 # for file sources); --no-chain = live path
@@ -124,12 +126,25 @@ def main():
             'max_area': 800000, 'min_aspect_ratio': 1.2}
     else:
         det_cfgs['ssd_detector_cfg'] = {'model': det_model}
+    extractor_cfg = {'model': 'OSNet025', 'batch_size': 16}
+    if INT8:
+        # native int8 convs with DYNAMIC input ranges (wildcard cache —
+        # see QuantizedModule): no pretrained weights / calibration
+        # images ship here, so per-layer KL thresholds can't be honest;
+        # dynamic absmax quantization measures the same execution path
+        import tempfile
+        cache = os.path.join(tempfile.gettempdir(), 'bench_int8_cal.json')
+        with open(cache, 'w') as f:
+            json.dump({'outputs': {}, 'inputs': {'*': 0.0}}, f)
+        for k in det_cfgs:
+            det_cfgs[k].update(quantize='int8', calib_cache=cache)
+        extractor_cfg.update(quantize='int8', calib_cache=cache)
     mot = MOT(
         SIZE,
         detector_type=det_type,
         detector_frame_skip=5,
         class_ids=(1,),
-        feature_extractor_cfgs=({'model': 'OSNet025', 'batch_size': 16},),
+        feature_extractor_cfgs=(extractor_cfg,),
         **det_cfgs,
     )
 
@@ -243,6 +258,8 @@ def main():
     p99 = float(st[int(0.99 * (len(st) - 1))]) * 1e3
     suffix = '' if N_OBJECTS == 40 else f'_{N_OBJECTS}obj'
     metric = METRIC_TAG or f'fps_mot17_like_yolov4_osnet_n5{suffix}'
+    if INT8:
+        metric += '_int8'
     print(json.dumps({
         'metric': metric,
         'value': round(fps, 2),
@@ -254,7 +271,9 @@ def main():
         'step_ms_p50': round(p50, 2),
         'step_ms_p99': round(p99, 2),
         'n_objects': N_OBJECTS,
-        'caveats': CAVEATS,
+        'caveats': CAVEATS + ('; int8 = NATIVE s8xs8->s32 convs with '
+                              'dynamic input ranges (no calibration '
+                              'images ship in this env)' if INT8 else ''),
     }))
 
 
@@ -365,7 +384,12 @@ if __name__ == '__main__':
     ap.add_argument('--no-chain', action='store_true',
                     help='per-frame stepping (live-source path) instead '
                          'of chained skip cycles (file-source path)')
+    ap.add_argument('--int8', action='store_true',
+                    help='run detector+extractor convs natively in int8 '
+                         '(s8xs8->s32 MXU, dynamic input ranges)')
     args = ap.parse_args()
+    if args.int8:
+        INT8 = True
     if args.no_chain:
         CHAIN = False
     if args.config:

@@ -178,9 +178,10 @@ class YOLODetector(Detector):
             # int8 weight path (role of the reference's INT8 engine
             # build flag, ssd.py:76-83); calib_cache adds calibrated
             # activation fake-quant (calibrator.py:59-67's cache)
-            from .models.quantize import QuantizedModule, load_act_ranges
+            from .models.quantize import QuantizedModule, load_calib_ranges
+            act_ranges, in_ranges = load_calib_ranges(calib_cache)
             self.module = QuantizedModule(
-                self.module, act_ranges=load_act_ranges(calib_cache))
+                self.module, act_ranges=act_ranges, in_ranges=in_ranges)
             self.params = self.module.quantize(self.params)
         self._decode_heads = decode_heads
 
@@ -314,9 +315,10 @@ class SSDDetector(Detector):
             # SSD path (ssd.py:76-83 + calibrator.py:8-67); same knobs as
             # YOLODetector: int8-stored weights dequantized in-graph, and
             # calib_cache adds calibrated activation fake-quant
-            from .models.quantize import QuantizedModule, load_act_ranges
+            from .models.quantize import QuantizedModule, load_calib_ranges
+            act_ranges, in_ranges = load_calib_ranges(calib_cache)
             self.module = QuantizedModule(
-                self.module, act_ranges=load_act_ranges(calib_cache))
+                self.module, act_ranges=act_ranges, in_ranges=in_ranges)
             self.params = self.module.quantize(self.params)
         self._anchors = jnp.asarray(generate_anchors())
         self._decode = decode_ssd

@@ -140,9 +140,10 @@ class FeatureExtractor:
             # calib_cache (reference calibrator.py:59-67's calibration
             # cache) additionally fake-quantizes activations at their
             # KL-calibrated clip thresholds.
-            from .models.quantize import QuantizedModule, load_act_ranges
+            from .models.quantize import QuantizedModule, load_calib_ranges
+            act_ranges, in_ranges = load_calib_ranges(calib_cache)
             self.module = QuantizedModule(
-                self.module, act_ranges=load_act_ranges(calib_cache))
+                self.module, act_ranges=act_ranges, in_ranges=in_ranges)
             self.params = self.module.quantize(self.params)
         c, h, w = self.model.INPUT_SHAPE
         self._out_hw = (h, w)

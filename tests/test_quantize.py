@@ -249,3 +249,158 @@ def test_ssd_detector_int8_knob(rng):
     frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
     out = det(frame)   # random weights -> usually empty; must run
     assert out.dtype.names == ('tlbr', 'label', 'conf')
+
+
+def test_native_int8_conv_exact_semantics(rng):
+    """QuantizedModule(in_ranges=...) must execute nn.Conv layers as
+    REAL s8 x s8 -> s32 convolutions: exact against an f32 emulation of
+    the same quantization scheme (small sizes keep f32 accumulation
+    exact), covering stride-2 and bias convs."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models.quantize import QuantizedModule
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(8, (3, 3), name='c0', use_bias=False)(x))
+            x = nn.relu(nn.Conv(8, (3, 3), (2, 2), name='c1',
+                                use_bias=False)(x))
+            return nn.Conv(4, (1, 1), name='head', use_bias=True)(x)
+
+    m = Net()
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    in_ranges = {'c0': 2.5, 'c1': 1.0, 'head': 1.0}
+    qm = QuantizedModule(m, in_ranges=in_ranges)
+    q_state = qm.quantize(params)
+    got = np.asarray(jax.jit(
+        lambda s, xx: qm.apply(s, xx))(q_state, x))
+
+    # f32 emulation of the identical scheme
+    def qconv(xf, name, t, strides=(1, 1), relu=True, bias=False):
+        s_in = t / 127.0
+        xq = np.clip(np.round(xf / s_in), -127, 127)
+        w = np.asarray(params['params'][name]['kernel'], np.float32)
+        absmax = np.max(np.abs(w), axis=(0, 1, 2), keepdims=True)
+        sw = np.maximum(absmax, 1e-8) / 127.0
+        wq = np.clip(np.rint(w / sw), -127, 127)
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(xq), jnp.asarray(wq), strides, 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision='highest')
+        y = np.asarray(y) * (s_in * sw.reshape(-1))
+        if bias:
+            y = y + np.asarray(params['params'][name]['bias'])
+        return np.maximum(y, 0) if relu else y
+
+    ref = qconv(np.asarray(x), 'c0', 2.5)
+    ref = qconv(ref, 'c1', 1.0, strides=(2, 2))
+    ref = qconv(ref, 'head', 1.0, relu=False, bias=True)
+    assert np.allclose(got, ref, atol=1e-5), np.abs(got - ref).max()
+
+
+def test_native_int8_conv_dynamic_wildcard(rng):
+    """in_ranges={'*': 0.0} runs EVERY nn.Conv natively in int8 with a
+    dynamic (in-graph absmax) input threshold — exact against an f32
+    emulation; explicit per-layer entries still win over the wildcard."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models.quantize import QuantizedModule
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(8, (3, 3), name='c0', use_bias=False)(x))
+            return nn.Conv(4, (1, 1), name='head', use_bias=True)(x)
+
+    m = Net()
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    qm = QuantizedModule(m, in_ranges={'*': 0.0, 'head': 1.5})
+    q_state = qm.quantize(params)
+    got = np.asarray(jax.jit(lambda s, xx: qm.apply(s, xx))(q_state, x))
+
+    def qconv(xf, name, t, relu=True, bias=False):
+        s_in = (t if t > 0 else max(np.abs(xf).max(), 1e-6)) / 127.0
+        xq = np.clip(np.round(xf / s_in), -127, 127)
+        w = np.asarray(params['params'][name]['kernel'], np.float32)
+        absmax = np.max(np.abs(w), axis=(0, 1, 2), keepdims=True)
+        sw = np.maximum(absmax, 1e-8) / 127.0
+        wq = np.clip(np.rint(w / sw), -127, 127)
+        y = np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(xq), jnp.asarray(wq), (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision='highest')) * (s_in * sw.reshape(-1))
+        if bias:
+            y = y + np.asarray(params['params'][name]['bias'])
+        return np.maximum(y, 0) if relu else y
+
+    ref = qconv(np.asarray(x), 'c0', 0.0)
+    ref = qconv(ref, 'head', 1.5, relu=False, bias=True)
+    assert np.allclose(got, ref, atol=1e-4), np.abs(got - ref).max()
+
+
+def test_calibrator_input_ranges_and_cache(rng, tmp_path):
+    """compute_input_ranges yields a KL threshold per nn.Conv; save()
+    writes both families; load_calib_ranges round-trips them and still
+    reads legacy flat caches."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import json
+    from fastmot_tpu.models.quantize import (
+        EntropyCalibrator, load_calib_ranges, load_act_ranges)
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(8, (3, 3), name='c0')(x))
+            return nn.Conv(4, (3, 3), name='c1')(x)
+
+    m = Net()
+    x0 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x0)
+    cal = EntropyCalibrator(m, params, num_bins=256)
+    for _ in range(2):
+        cal.observe(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    ins = cal.compute_input_ranges()
+    assert set(ins) == {'c0', 'c1'} and all(v > 0 for v in ins.values())
+
+    cache = tmp_path / 'cache.json'
+    cal.save(cache)
+    outs2, ins2 = load_calib_ranges(cache)
+    assert ins2 == ins and outs2 == cal.compute_ranges()
+    assert load_act_ranges(cache) == outs2
+
+    legacy = tmp_path / 'legacy.json'
+    legacy.write_text(json.dumps({'c0': 1.0}))
+    outs3, ins3 = load_calib_ranges(legacy)
+    assert outs3 == {'c0': 1.0} and ins3 is None
+    assert load_calib_ranges(None) == (None, None)
+
+
+def test_yolo_detector_native_int8_knob(rng, tmp_path):
+    """calib_cache with input ranges upgrades the YOLO detector to
+    native int8 conv execution (in_ranges wired through), and the fused
+    graph still compiles and runs."""
+    import json
+    from fastmot_tpu.detector import YOLODetector
+
+    cache = tmp_path / 'cal.json'
+    # every YOLOv4Tiny conv path gets a plausible input range
+    det_probe = YOLODetector((320, 256), (0,), model='YOLOv4Tiny')
+    conv_names = [k for k in det_probe.params['params'] if
+                  k.startswith('conv')]
+    cache.write_text(json.dumps(
+        {'outputs': {}, 'inputs': {k: 4.0 for k in conv_names}}))
+
+    det = YOLODetector((320, 256), (0,), model='YOLOv4Tiny',
+                       quantize='int8', calib_cache=cache)
+    assert det.module.in_ranges, 'input ranges not wired'
+    frame = rng.uniform(0, 255, (256, 320, 3)).astype(np.uint8)
+    det.detect_async(frame)
+    out = det.postprocess()   # random weights -> usually empty; must run
+    assert out.tlbr.shape[1:] == (4,) if len(out) else True
