@@ -32,7 +32,12 @@ bench-all:
 # cannot run this): download pretrained weights + MOT20, convert, run the
 # tracker over MOT20-01, score with built-in eval AND cross-check IDF1/MOTA
 # against the official TrackEval, asserting the <=0.5 bound from BASELINE.md.
+# INT8=1 additionally runs a YOLOv4 f32-vs-int8 A/B (entropy-calibrated on
+# the sequence's images) asserting int8 costs <=0.5 MOTA/IDF1 vs f32.
 parity:
 	bash scripts/parity_check.sh
+
+parity-int8:
+	INT8=1 bash scripts/parity_check.sh
 
 .PHONY: test test-fast test-tpu bench bench-all parity

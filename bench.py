@@ -205,6 +205,11 @@ def main():
                                 for j in range(i, i + k)])
             else:
                 mot.step(frames[i % FRAME_PERIOD])
+                # live semantics: a camera app consumes track state every
+                # frame (visible_tracks syncs) — so the recorded per-step
+                # time is the TRUE frame latency (dispatch + device
+                # completion + host mirror), not enqueue time
+                mot.tracker.sync()
             if on_step is not None:
                 on_step(k)
             i += k
@@ -260,6 +265,8 @@ def main():
     metric = METRIC_TAG or f'fps_mot17_like_yolov4_osnet_n5{suffix}'
     if INT8:
         metric += '_int8'
+    if not CHAIN:
+        metric += '_live'
     print(json.dumps({
         'metric': metric,
         'value': round(fps, 2),
@@ -273,7 +280,11 @@ def main():
         'n_objects': N_OBJECTS,
         'caveats': CAVEATS + ('; int8 = NATIVE s8xs8->s32 convs with '
                               'dynamic input ranges (no calibration '
-                              'images ship in this env)' if INT8 else ''),
+                              'images ship in this env)' if INT8 else '')
+                   + ('; live mode: step()+sync every frame, so '
+                      'step_ms_p50/p99 are TRUE per-frame latencies '
+                      '(dispatch + device completion + host mirror) and '
+                      'fps is fully synchronous' if not CHAIN else ''),
     }))
 
 

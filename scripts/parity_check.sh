@@ -78,3 +78,59 @@ assert b_mota >= mota_min, f'MOTA {b_mota:.2f} < {mota_min}'
 assert b_idf1 >= idf1_min, f'IDF1 {b_idf1:.2f} < {idf1_min}'
 print('PARITY OK')
 EOF
+
+# ---------------------------------------------------------------------------
+# INT8=1 — native-int8 accuracy A/B (VERDICT r4 task #9): run the REAL
+# YOLOv4 detector (pretrained CrowdHuman weights) over the sequence twice,
+# f32 vs quantize=int8 with entropy-calibrated ranges from the sequence's
+# own images (reference calibrated on VOC2007, calibrator.py:20), and
+# assert the int8 run costs <=0.5 MOTA and <=0.5 IDF1 vs the f32 run —
+# the same tolerance BASELINE.md grants the whole framework.
+# ---------------------------------------------------------------------------
+if [ "${INT8:-0}" = "1" ]; then
+    echo "== INT8 A/B: calibration =="
+    python3 scripts/calibrate_int8.py --images "$SEQ_DIR/img1" \
+        --model YOLOv4 --out "$RESULTS/yolov4_calib.json" --n 32
+    python3 scripts/calibrate_int8.py --images "$SEQ_DIR/img1" \
+        --model OSNet025 --out "$RESULTS/osnet025_calib.json" --n 32
+
+    for MODE in f32 int8; do
+        echo "== INT8 A/B: $MODE run over $SEQ (YOLOv4 detector) =="
+        python3 app.py --input-uri "$SEQ_DIR/img1/%06d.jpg" --mot \
+            --txt "$RESULTS/yolo_$MODE.txt" \
+            --config <(MODE=$MODE RESULTS=$RESULTS python3 - <<'EOF'
+import json, os
+cfg = json.load(open('cfg/mot.json'))
+cfg['mot_cfg']['detector_type'] = 'YOLO'
+if os.environ['MODE'] == 'int8':
+    res = os.environ['RESULTS']
+    cfg['mot_cfg']['yolo_detector_cfg'].update(
+        quantize='int8', calib_cache=f'{res}/yolov4_calib.json')
+    cfg['mot_cfg']['feature_extractor_cfgs'][0].update(
+        quantize='int8', calib_cache=f'{res}/osnet025_calib.json')
+print(json.dumps(cfg))
+EOF
+)
+        python3 -m fastmot_tpu.eval --gt "$SEQ_DIR/gt/gt.txt" \
+            --res "$RESULTS/yolo_$MODE.txt" | tee "$RESULTS/eval_$MODE.txt"
+    done
+
+    python3 - "$RESULTS" <<'EOF'
+import re, sys
+res = sys.argv[1]
+def scores(path):
+    txt = open(path).read()
+    mota = float(re.search(r'MOTA[=:]\s*([\d.-]+)', txt).group(1))
+    idf1 = float(re.search(r'IDF1[=:]\s*([\d.-]+)', txt).group(1))
+    if abs(mota) <= 1.0:
+        mota, idf1 = mota * 100, idf1 * 100
+    return mota, idf1
+f32 = scores(f'{res}/eval_f32.txt')
+i8 = scores(f'{res}/eval_int8.txt')
+print(f'f32:  MOTA={f32[0]:.2f} IDF1={f32[1]:.2f}')
+print(f'int8: MOTA={i8[0]:.2f} IDF1={i8[1]:.2f}')
+assert f32[0] - i8[0] <= 0.5, f'int8 MOTA drop {f32[0] - i8[0]:.2f} > 0.5'
+assert f32[1] - i8[1] <= 0.5, f'int8 IDF1 drop {f32[1] - i8[1]:.2f} > 0.5'
+print('INT8 PARITY OK')
+EOF
+fi

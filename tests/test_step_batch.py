@@ -36,6 +36,24 @@ def _make_mot(seq, skip=3):
     )
 
 
+def test_step_batch_smoke(tmp_path, rng):
+    """Fast-tier coverage of the default file-source CLI path
+    (app.py routes file inputs through step_batch): a SHORT sequence,
+    chained vs per-frame replay equality on the all-device path. The
+    multi-seed / cycle-boundary torture variants stay in the slow tier
+    below."""
+    seq, frames, _ = make_sequence(tmp_path, rng)
+    frames = frames[:11]          # 3 full skip cycles + partial tail
+
+    ref = _run(_make_mot(seq), frames, batched=False)
+    got = _run(_make_mot(seq), frames, batched=True)
+
+    assert set(ref) == set(got)
+    for fid in ref:
+        assert ref[fid] == got[fid], (fid, ref[fid], got[fid])
+    assert any(rows for rows in ref.values())
+
+
 @pytest.mark.slow
 def test_step_batch_matches_per_frame(tmp_path, rng):
     seq, frames, _ = make_sequence(tmp_path, rng)
