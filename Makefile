@@ -6,9 +6,13 @@ CPU_MESH = PYTHONPATH= JAX_PLATFORMS=cpu \
 test:
 	$(CPU_MESH) python -m pytest tests/ -q
 
-# Smoke tier (<5 min on the CPU mesh): kernel oracles, one parity seed,
-# one end-to-end run — the subprocess CLI matrix, multi-seed fuzzing and
-# heavy compile tests are marked `slow` and stay in `make test`.
+# Smoke tier: kernel oracles, one parity seed, chain smoke, one
+# end-to-end run — the subprocess CLI matrix, multi-seed fuzzing and the
+# heaviest compile variants (calibrated-OSNet int8, SSDMobileNetV2/P6
+# roundtrips, flagship dryrun) are marked `slow` and stay in `make test`.
+# Measured on this 8-device CPU mesh: ~14 min with a COLD XLA cache
+# (compile-dominated), ~4-5 min warm (fastmot_tpu persists compiles to
+# ~/.cache/fastmot_tpu_xla, so only the first run of a checkout is cold).
 test-fast:
 	$(CPU_MESH) python -m pytest tests/ -q -m "not slow"
 

@@ -193,6 +193,7 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             + c * fy * (1 - fx) + d * fy * fx)
 
 
+LK_EXTRA_STEPS = 1        # same-cell GN steps per row gather (see gn_step)
 TAB_DTYPE = jnp.uint8     # window-table storage: image values are 8-bit
                           # at heart — cv2's own LK pyramids ARE uint8
                           # (buildOpticalFlowPyramid), so rounding the
@@ -408,13 +409,22 @@ def lk_pyramidal(prev_pyr, prev_tabs, cur_pyr, cur_tabs, pts, valid,
         steps = steps + active.astype(jnp.int32)
         active = active & inv_ok & still1 & (steps < spec.iters)
 
-        # steps 2..4 — exact resamples from the SAME rows while the
+        # extra step(s) — exact resamples from the SAME rows while the
         # stepped position keeps the anchor cell (floor unchanged after
-        # clip). Near convergence steps are subpixel, so most gathers
-        # serve several exact Gauss-Newton steps; each extra step is
-        # ~5 us of VPU math vs ~29 us for a fresh gather trip. Per-point
-        # step budgets keep the cv2 COUNT criterion exact.
-        for _ in range(3):
+        # clip). Near convergence steps are subpixel, so one gather often
+        # serves two exact Gauss-Newton steps. Per-point step budgets
+        # keep the cv2 COUNT criterion exact. LK_EXTRA_STEPS=1 is the
+        # measured lockstep optimum (r5 A/B, scripts/prof_lk.py, 48
+        # tracks on-chip): each unconditional evaluation costs ~0.14
+        # ms/LK whether or not any point can use it (extra=3 was +0.43
+        # ms vs extra=0), and gating an evaluation behind
+        # ``lax.cond(any(do2))`` is WORSE (+6 us per cond per trip,
+        # +1.1 ms/LK — conditionals in hot while bodies are
+        # pathological, docs/PERFORMANCE.md lowering lesson #1). The
+        # double-step keeps most of the gather savings on converging
+        # video; the quad-step's extra two evaluations never paid for
+        # themselves on any measured workload.
+        for _ in range(LK_EXTRA_STEPS):
             x2 = jnp.clip(p[:, 0] + v[:, 0], 0.0, wf - 1.001)
             y2 = jnp.clip(p[:, 1] + v[:, 1], 0.0, hf - 1.001)
             same = (jnp.floor(x2).astype(jnp.int32) == x0) & \

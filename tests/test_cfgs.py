@@ -119,7 +119,10 @@ def test_scaled_zoo_metadata_matches_cfg():
         assert (c, h, w) == tuple(cls.INPUT_SHAPE), name
 
 
-@pytest.mark.parametrize('name', ['YOLOv4CSP', 'YOLOv4P6'])
+@pytest.mark.parametrize('name', [
+    'YOLOv4CSP',
+    pytest.param('YOLOv4P6', marks=pytest.mark.slow),
+])
 def test_scaled_weights_roundtrip(name, tmp_path):
     """Strict .weights round trip for the Scaled family: a file with the
     cfg's exact float layout loads fully (the loader asserts complete

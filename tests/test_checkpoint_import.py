@@ -232,7 +232,10 @@ def _ssd_consts(model_name, params):
     return consts
 
 
-@pytest.mark.parametrize('name', ['SSDMobileNetV1', 'SSDMobileNetV2'])
+@pytest.mark.parametrize('name', [
+    'SSDMobileNetV1',
+    pytest.param('SSDMobileNetV2', marks=pytest.mark.slow),
+])
 def test_ssd_frozen_graph_roundtrip(name, tmp_path):
     from fastmot_tpu.models.ssd_convert import convert_frozen_graph
 

@@ -5,10 +5,26 @@ import pytest
 pytestmark = pytest.mark.multidevice
 
 
-def test_dryrun_multichip():
+def test_dryrun_multichip(monkeypatch):
+    """Fast tier runs the Tiny variant (seconds of compile); the
+    flagship YOLOv4-512 default is exercised by the driver's
+    MULTICHIP artifact and by the slow-tier test below."""
     import sys
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).parents[1]))
+    monkeypatch.setenv('FASTMOT_DRYRUN_MODEL', 'YOLOv4Tiny')
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_flagship(monkeypatch):
+    """The production YOLOv4-512 graph compiles and runs under the
+    streams x model TP shardings (~2.5 min cold on the CPU mesh)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    monkeypatch.setenv('FASTMOT_DRYRUN_MODEL', 'YOLOv4')
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
 

@@ -141,6 +141,7 @@ def test_calibrated_activation_fake_quant(rng, tmp_path):
     assert np.abs(out_a - ref).mean() / denom < 0.15
 
 
+@pytest.mark.slow
 def test_osnet_calibrated_int8_embedding_parity(rng, tmp_path):
     """A/B embedding drift bound for the FULL int8 path (int8 weights +
     KL-calibrated activation fake-quant) on OSNet: cosine > 0.98."""
@@ -170,6 +171,7 @@ def test_osnet_calibrated_int8_embedding_parity(rng, tmp_path):
     assert (cos > 0.9).all(), cos
 
 
+@pytest.mark.slow
 def test_feature_extractor_calib_cache_knob(rng, tmp_path):
     """The pipeline-level calib_cache knob: FeatureExtractor(quantize=
     'int8', calib_cache=...) runs with calibrated activations."""
