@@ -160,6 +160,32 @@ class OSNet(nn.Module):
         return nn.relu(x).astype(jnp.float32)
 
 
+def apply_fused(module: OSNet, variables, x):
+    """``module.apply(variables, x)`` with every OSBlock routed through
+    the fused Pallas kernel (ops/osnet_block.py) — identical params,
+    identical numerics up to bf16 rounding (tests/test_osnet_block.py,
+    test_osnet_apply_fused). The Flax OSBlock lowers to ~70 small XLA
+    fusions whose launch overhead dominates (measured batch-insensitive,
+    docs/PERFORMANCE.md); the kernel is one launch per block."""
+    import flax.linen as nn
+
+    from ..ops.osnet_block import fold_osblock, osblock_fused
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if isinstance(m, OSBlock) and context.method_name == '__call__':
+            xx = args[0]
+            b, h, w, ch_in = xx.shape
+            flat = fold_osblock(m.variables, ch_in, m.features)
+            tile = 8 if b % 8 == 0 else b
+            return osblock_fused(xx, flat, h=h, w=w, ch_in=ch_in,
+                                 features=m.features, tile_b=tile)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        return module.apply(variables, x)
+
+
 @register_reid
 class OSNet025(ReIDModel):
     """OSNet x0.25 (reid.py:95-100): 256x128 input, 512-d, euclidean."""

@@ -99,7 +99,9 @@ def _resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize matching OpenCV's half-pixel-center convention,
     as two interpolation-weight matmuls on the MXU (column gathers on a
     full frame lower to a serial scan on TPU — see
-    detector._lerp_matrix)."""
+    detector._lerp_matrix). Dtype-preserving: bf16 inputs run bf16
+    matmuls with f32 accumulation (the flow path's images are 8-bit
+    values, exactly representable in bf16; see _preprocess_jit)."""
     h, w = img.shape
     oh, ow = out_hw
 
@@ -109,8 +111,14 @@ def _resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
         src = jnp.arange(n_in, dtype=jnp.float32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - src[None, :]))
 
-    wy = lerp_matrix(h, oh)
-    wx = lerp_matrix(w, ow)
+    wy = lerp_matrix(h, oh).astype(img.dtype)
+    wx = lerp_matrix(w, ow).astype(img.dtype)
+    if img.dtype == jnp.bfloat16:
+        tmp = jnp.einsum('oy,yx->ox', wy, img,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum('px,ox->op', wx, tmp.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
     tmp = jnp.einsum('oy,yx->ox', wy, img,
                      precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum('px,ox->op', wx, tmp,
@@ -118,15 +126,22 @@ def _resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
 
 
 def _downsample2(img: jax.Array) -> jax.Array:
-    """2x2 average-pool downsample (pyramid level step)."""
+    """2x2 average-pool downsample (pyramid level step). Accumulates in
+    f32 so bf16 pyramids don't compound rounding across levels (storage
+    stays in the input dtype)."""
     h, w = img.shape
     h2, w2 = h // 2, w // 2
     img = img[:h2 * 2, :w2 * 2]
-    return img.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    return img.reshape(h2, 2, w2, 2).astype(jnp.float32) \
+        .mean(axis=(1, 3)).astype(img.dtype)
 
 
 def _shi_tomasi_response(img: jax.Array) -> jax.Array:
-    """Min-eigenvalue corner response with 3x3 gradient/window sums."""
+    """Min-eigenvalue corner response with 3x3 gradient/window sums.
+    Computes in f32 regardless of the (possibly bf16) image dtype: the
+    squared-gradient sums span ~5 decades and bf16's 8-bit mantissa
+    would perturb the corner ranking."""
+    img = img.astype(jnp.float32)
     ix = jnp.zeros_like(img)
     iy = jnp.zeros_like(img)
     ix = ix.at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
@@ -691,14 +706,23 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     candidates — so the per-frame flow step never recomputes
     previous-frame quantities.
     """
+    # bf16 pyramid with INTEGER-ROUNDED levels: cv2's optical-flow
+    # pyramids are u8 images (cvtColor/resize/pyrDown all round to u8),
+    # and integers <= 256 are exact in bf16 — so rounding each level
+    # both matches the reference numerics MORE closely than the old f32
+    # pyramid and makes bf16 a lossless storage dtype. Halves the
+    # preprocess resize/pyramid HBM traffic and the chained-flow loop
+    # carry (the r4 budget had ~0.85 ms/cycle of f32 frame-layout
+    # copies feeding the resize matmuls).
     f = frame_bgr.astype(jnp.float32)
-    # OpenCV BGR2GRAY weights
-    gray = f[..., 2] * 0.299 + f[..., 1] * 0.587 + f[..., 0] * 0.114
+    # OpenCV BGR2GRAY weights, rounded to u8 values like cvtColor
+    gray = jnp.round(f[..., 2] * 0.299 + f[..., 1] * 0.587
+                     + f[..., 0] * 0.114).astype(jnp.bfloat16)
     ow, oh = spec.opt_size
-    base = _resize_bilinear(gray, (oh, ow))
+    base = jnp.round(_resize_bilinear(gray, (oh, ow)))
     pyr = [base]
     for _ in range(spec.max_level):
-        pyr.append(_downsample2(pyr[-1]))
+        pyr.append(jnp.round(_downsample2(pyr[-1])))
 
     # ONE combined f16 window table (value + gradient halo) for ALL
     # levels, concatenated along rows so the fused multi-level LK loop
