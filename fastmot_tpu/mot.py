@@ -91,12 +91,22 @@ class MOT:
                                     **_vars(tracker_cfg))
         self.visualizer = Visualizer(**_vars(visualizer_cfg))
         self.frame_count = 0
+        # cross-call gap-frame buffer for step_batch: chains survive
+        # arbitrary caller chunk sizes, so a detection frame is chained
+        # with its preceding gap frames even when the caller batches
+        # exactly one skip cycle per call (the app.py file loop does) —
+        # without this, every detection frame's flow ran as its own
+        # per-frame dispatch pair (~0.8 ms/cycle of extra kernel time
+        # plus two enqueues, r5 trace)
+        self._gap_buf = []
 
     def visible_tracks(self):
         """Confirmed and active tracks from the tracker (mot.py:103-112).
 
-        Forces consumption of any in-flight chained-frame results so the
-        host mirrors are current."""
+        Forces processing of any buffered gap frames and consumption of
+        in-flight chained-frame results so the host mirrors are
+        current."""
+        self._flush_gaps()
         self.tracker.sync()
         return (track for track in self.tracker.tracks.values()
                 if track.confirmed and track.active)
@@ -110,15 +120,33 @@ class MOT:
         device sync per frame (the reference's writer is synchronous,
         app.py:92-97; here a per-frame sync would re-serialize the
         deferred pipeline)."""
+        self._flush_gaps()
         return self.tracker.sync(snapshots=True)
 
     def reset(self, cap_dt):
-        """Reset the tracker; must be called before ``step`` (mot.py:114-123)."""
+        """Reset the tracker; must be called before ``step`` (mot.py:114-123).
+
+        Buffered gap frames are processed first so replay equality with
+        per-frame stepping holds across a reset."""
+        if self._gap_buf and self.frame_count:
+            self._flush_gaps()
+        self._gap_buf.clear()
         self.frame_count = 0
         self.tracker.reset(cap_dt)
 
+    def _flush_gaps(self):
+        """Dispatch any gap frames buffered by step_batch (chained:
+        tracker.track_chain — TWO device dispatches per run)."""
+        if not self._gap_buf:
+            return
+        buf, self._gap_buf = self._gap_buf, []
+        with Profiler('track'):
+            self.tracker.track_chain([f for f, _ in buf],
+                                     [i for _, i in buf])
+
     def step(self, frame):
         """Run the tracker on the next frame (mot.py:125-168)."""
+        self._flush_gaps()
         detections = []
         # one host->device transfer per frame, shared by the detector,
         # optical flow, and the ReID extractor (the reference's pinned
@@ -197,31 +225,26 @@ class MOT:
             return
         device_path = (len(self.extractors) == 1
                        and hasattr(self.detector, 'postprocess_device'))
-        gap_buf = []
 
-        def flush():
-            if not gap_buf:
-                return
-            with Profiler('track'):
-                self.tracker.track_chain(
-                    [f for f, _ in gap_buf], [i for _, i in gap_buf])
-            gap_buf.clear()
-
+        # gap frames accumulate in self._gap_buf ACROSS step_batch calls
+        # (flushed lazily by the next detection frame, a per-frame
+        # step(), visible_tracks/flush_tracks, or reset): the chain is
+        # independent of the caller's chunk size, so a detection frame
+        # is always chained with its preceding gap frames even when the
+        # caller batches exactly one skip cycle per call.
         for frame in frames:
             if self.frame_count == 0:
-                flush()
                 self.step(frame)
             elif self.frame_count % self.detector_frame_skip == 0:
                 if not device_path:
-                    flush()
                     self.step(frame)
                     continue
                 frame_dev = jnp.asarray(frame)
                 with Profiler('preproc'):
                     self.detector.detect_async(frame_dev)
-                gap_buf.append((frame_dev, self.frame_count))
+                self._gap_buf.append((frame_dev, self.frame_count))
                 with Profiler('detect'):
-                    flush()
+                    self._flush_gaps()
                     det_dev = self.detector.postprocess_device()
                 with Profiler('assoc'):
                     self.tracker.update_device_fused(
@@ -229,9 +252,13 @@ class MOT:
                         self.extractors[0])
                 self.frame_count += 1
             else:
-                gap_buf.append((frame, self.frame_count))
+                # upload NOW: the buffer outlives this call, so holding
+                # the caller's (possibly recycled) host array would
+                # alias stale data — and the early H2D overlaps the
+                # in-flight chain anyway
+                self._gap_buf.append((jnp.asarray(frame),
+                                      self.frame_count))
                 self.frame_count += 1
-        flush()
 
     @staticmethod
     def print_timing_info():
