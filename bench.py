@@ -39,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_WARMUP = 12
 N_FRAMES = 240
 N_OBJECTS = 40
+CLASS_IDS = (1,)     # tracked label (CrowdHuman person); Scaled zoo uses 0
 SIZE = (1280, 720)
 BASELINE_FPS = 26.0  # reference MOT17-04 row (BASELINE.md)
 TRACE_DIR = None     # set via --trace: xplane capture of one pass
@@ -60,6 +61,7 @@ CONFIGS = {
             tag='fps_mot20_density_yolov4_osnet_n5',
             baseline=18.0),   # reference MOT17-03 row (50-80 objects)
     4: dict(detector=('YOLO', 'YOLOv4CSP'), objects=24,
+            class_ids=(0,),   # Scaled zoo is 1-class (person = id 0)
             tag='fps_scaled_yolov4csp_osnet_n5',
             baseline=42.0),   # sparse scenes; Scaled models have no
                               # published reference FPS row
@@ -84,7 +86,8 @@ def synth_detections(frame_id, rng):
     w = 60 + (np.arange(N_OBJECTS) * 13) % 40
     h = 160 + (np.arange(N_OBJECTS) * 17) % 80
     tlbrs = np.stack([xs, ys, xs + w, ys + h], -1).astype(float)
-    return make_detections(np.rint(tlbrs), np.ones(N_OBJECTS, int),
+    return make_detections(np.rint(tlbrs),
+                           np.full(N_OBJECTS, CLASS_IDS[0], int),
                            np.full(N_OBJECTS, 0.9))
 
 
@@ -143,7 +146,7 @@ def main():
         SIZE,
         detector_type=det_type,
         detector_frame_skip=5,
-        class_ids=(1,),
+        class_ids=CLASS_IDS,
         feature_extractor_cfgs=(extractor_cfg,),
         **det_cfgs,
     )
@@ -412,6 +415,7 @@ if __name__ == '__main__':
             DETECTOR = cfg['detector']
             METRIC_TAG = cfg['tag']
             N_OBJECTS = cfg['objects']
+            CLASS_IDS = cfg.get('class_ids', CLASS_IDS)
     if args.objects > 0:
         N_OBJECTS = args.objects
     if args.trace:

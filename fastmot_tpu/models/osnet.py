@@ -106,15 +106,71 @@ class AggregationGate(nn.Module):
         return x * gate[:, None, None, :]
 
 
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+# When set, OSBlock.apply uses the literal per-LiteConv module calls
+# (one nn.Conv/BatchNorm per LiteConv) — required by QuantizedModule
+# (whose interceptor hooks nn.Conv calls) and EntropyCalibrator (which
+# captures per-submodule intermediates). The stream-BATCHED forward
+# (FASTMOT_OSNET_BATCHED=1) is numerically equivalent with ~2.5x fewer
+# XLA fusions but MEASURED SLOWER on v5e (4.03 vs 2.76 ms at B=64,
+# scripts/prof_osnet.py r5): the concat/pad/slice relayouts it adds
+# cost more than the launches it saves. Kept as the third documented
+# negative result on this trunk (with int8 and the Pallas block) —
+# plain per-stream is the default.
+import os as _os
+
+_PLAIN_STREAMS = _contextvars.ContextVar(
+    'osnet_plain_streams',
+    default=_os.environ.get('FASTMOT_OSNET_BATCHED') != '1')
+
+
+@_contextlib.contextmanager
+def force_plain_streams():
+    tok = _PLAIN_STREAMS.set(True)
+    try:
+        yield
+    finally:
+        _PLAIN_STREAMS.reset(tok)
+
+
+@_contextlib.contextmanager
+def force_batched_streams():
+    tok = _PLAIN_STREAMS.set(False)
+    try:
+        yield
+    finally:
+        _PLAIN_STREAMS.reset(tok)
+
+
 class OSBlock(nn.Module):
     """Omni-scale residual block: 4 streams of 1..4 stacked LiteConvs,
-    fused by a shared aggregation gate, plus identity shortcut."""
+    fused by a shared aggregation gate, plus identity shortcut.
+
+    Two numerically-equivalent forwards over ONE param tree:
+
+    - the literal per-stream form (used at init so the param tree keeps
+      torchreid-convertible LiteConv_0..9 structure, and under
+      ``force_plain_streams`` for int8/calibration interception);
+    - the stream-BATCHED form (default at apply time): the 10 LiteConvs
+      collapse into 4 "rounds" over a channel-concatenated tensor —
+      round j applies the j-th LiteConv of every still-active stream as
+      ONE block-diagonal 1x1 matmul + ONE shifted-FMA depthwise + ONE
+      folded BN — because depthwise convs and per-channel BN are exact
+      under channel concatenation, and a block-diagonal dense matmul is
+      the same dot rows plus f32-accumulated zeros. The OSNet trunk is
+      fusion-LAUNCH-bound, not compute-bound (batch-insensitive at 2.9
+      ms; docs/PERFORMANCE.md r5 A/Bs), so fewer, larger fusions is the
+      lever that works where int8 and Pallas measured negative."""
     features: int
     bottleneck_reduction: int = 4
 
     @nn.compact
     def __call__(self, x):
         mid = max(self.features // self.bottleneck_reduction, 4)
+        if not self.is_initializing() and not _PLAIN_STREAMS.get():
+            return self._batched(x, mid)
         identity = x
         y = ConvBNReLU(mid, (1, 1))(x)
         gate = AggregationGate(mid)
@@ -126,6 +182,60 @@ class OSBlock(nn.Module):
             s = gate(s)
             out = s if out is None else out + s
         out = ConvBNReLU(self.features, (1, 1), use_relu=False)(out)
+        if identity.shape[-1] != self.features:
+            identity = ConvBNReLU(self.features, (1, 1), use_relu=False)(identity)
+        return nn.relu(out + identity)
+
+    def _batched(self, x, mid):
+        """Stream-batched forward (see class docstring). Reads the
+        LiteConv params straight from the block's variables; the
+        ConvBNReLU/AggregationGate children are called normally (their
+        class-indexed names are unaffected by the absent LiteConvs)."""
+        p = self.variables['params']
+        s = self.variables['batch_stats']
+
+        def fold(i):
+            bp = p[f'LiteConv_{i}']['BatchNorm_0']
+            bs = s[f'LiteConv_{i}']['BatchNorm_0']
+            scale = bp['scale'] / jnp.sqrt(bs['var'] + 1e-5)
+            return scale, bp['bias'] - bs['mean'] * scale
+
+        identity = x
+        y = ConvBNReLU(mid, (1, 1))(x)
+        gate = AggregationGate(mid)
+
+        offs = (0, 1, 3, 6)           # first LiteConv index per stream
+        z = jnp.concatenate([y] * 4, axis=-1)       # [B, H, W, 4*mid]
+        gated = None
+        for rnd in range(4):
+            lids = [offs[t] + rnd for t in range(rnd, 4)]
+            wblk = jax.scipy.linalg.block_diag(
+                *[p[f'LiteConv_{i}']['Conv_0']['kernel']
+                  .reshape(mid, mid) for i in lids])
+            zb = jnp.einsum(
+                'bhwc,cd->bhwd', z.astype(jnp.bfloat16),
+                wblk.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dw = jnp.concatenate(
+                [p[f'LiteConv_{i}']['DepthwiseConv3x3_0']['kernel']
+                 for i in lids], axis=-1).astype(jnp.bfloat16)
+            zp = jnp.pad(zb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            h, w = zb.shape[1], zb.shape[2]
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    tap = (zp[:, dy:dy + h, dx:dx + w, :]
+                           * dw[dy, dx, 0]).astype(jnp.float32)
+                    acc = tap if acc is None else acc + tap
+            scs, shs = zip(*[fold(i) for i in lids])
+            sc = jnp.concatenate(scs).astype(jnp.bfloat16)
+            sh = jnp.concatenate(shs).astype(jnp.bfloat16)
+            z = nn.relu(acc.astype(jnp.bfloat16) * sc + sh)
+            head = gate(z[..., :mid])       # stream `rnd` is complete
+            gated = head if gated is None else gated + head
+            z = z[..., mid:]
+
+        out = ConvBNReLU(self.features, (1, 1), use_relu=False)(gated)
         if identity.shape[-1] != self.features:
             identity = ConvBNReLU(self.features, (1, 1), use_relu=False)(identity)
         return nn.relu(out + identity)

@@ -181,10 +181,14 @@ class QuantizedModule:
         return y
 
     def apply(self, q_state, x):
+        # quantization hooks intercept the per-LiteConv nn.Conv calls,
+        # so OSNet must take its literal per-stream forward here
+        from .osnet import force_plain_streams
         qp, sc = q_state
         params = dequantize_params(qp, sc)
         if self.act_ranges is None and self.in_ranges is None:
-            return self.module.apply(params, x)
+            with force_plain_streams():
+                return self.module.apply(params, x)
         import flax.linen as nn
         ranges = dict(self.act_ranges or ())
         in_ranges = dict(self.in_ranges or ())
@@ -234,7 +238,7 @@ class QuantizedModule:
                 out = fake_quant(out, t)
             return out
 
-        with nn.intercept_methods(interceptor):
+        with force_plain_streams(), nn.intercept_methods(interceptor):
             return self.module.apply(params, x)
 
     def __hash__(self):
@@ -311,8 +315,15 @@ class EntropyCalibrator:
         self._batches: list[np.ndarray] = []
         self._ranges: dict[str, float] | None = None
         self._in_ranges: dict[str, float] | None = None
-        self._apply = jax.jit(lambda p, x: self.module.apply(
-            p, x, capture_intermediates=True, mutable=['intermediates']))
+        def _cap(p, x):
+            # per-submodule intermediates require the literal forward
+            from .osnet import force_plain_streams
+            with force_plain_streams():
+                return self.module.apply(
+                    p, x, capture_intermediates=True,
+                    mutable=['intermediates'])
+
+        self._apply = jax.jit(_cap)
         self._apply_in = None
 
     def _intermediates(self, x):
@@ -349,9 +360,12 @@ class EntropyCalibrator:
                     cap['/'.join(context.module.path)] = args[0]
                 return next_fun(*args, **kwargs)
 
+            from .osnet import force_plain_streams
+
             def run(p, xx):
                 cap.clear()
-                with nn.intercept_methods(interceptor):
+                with force_plain_streams(), \
+                        nn.intercept_methods(interceptor):
                     self.module.apply(p, xx)
                 return dict(cap)
 

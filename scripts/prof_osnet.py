@@ -26,7 +26,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from fastmot_tpu.models.osnet import apply_fused
+    from fastmot_tpu.models.osnet import (apply_fused,
+                                          force_batched_streams,
+                                          force_plain_streams)
     from fastmot_tpu.models.registry import ReIDModel
 
     model = ReIDModel.get_model('OSNet025')
@@ -35,16 +37,26 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 128, 3))
                     .astype(np.float32))
 
-    flax_fn = jax.jit(module.apply)
-    fused_fn = jax.jit(lambda v, xx: apply_fused(module, v, xx))
+    def plain(v, xx):
+        with force_plain_streams():
+            return module.apply(v, xx)
 
-    ref = np.asarray(jax.block_until_ready(flax_fn(variables, x)),
+    def batched(v, xx):
+        with force_batched_streams():
+            return module.apply(v, xx)
+
+    plain_fn = jax.jit(plain)
+    batched_fn = jax.jit(batched)
+    pallas_fn = jax.jit(lambda v, xx: apply_fused(module, v, xx))
+
+    ref = np.asarray(jax.block_until_ready(plain_fn(variables, x)),
                      np.float32)
-    got = np.asarray(jax.block_until_ready(fused_fn(variables, x)),
-                     np.float32)
-    denom = np.abs(ref).max() + 1e-6
-    print(f'max rel diff: {np.abs(got - ref).max() / denom:.4f}',
-          file=sys.stderr)
+    for name, fn in (('batched', batched_fn), ('pallas', pallas_fn)):
+        got = np.asarray(jax.block_until_ready(fn(variables, x)),
+                         np.float32)
+        denom = np.abs(ref).max() + 1e-6
+        print(f'{name} max rel diff: '
+              f'{np.abs(got - ref).max() / denom:.4f}', file=sys.stderr)
 
     def clock(fn, label):
         jax.block_until_ready(fn(variables, x))
@@ -53,10 +65,11 @@ def main():
             o = fn(variables, x)
         jax.block_until_ready(o)
         dt = (time.perf_counter() - t0) / args.reps * 1e3
-        print(f'{label:<24} {dt:7.3f} ms  (B={args.batch})')
+        print(f'{label:<28} {dt:7.3f} ms  (B={args.batch})')
 
-    clock(flax_fn, 'flax OSNet forward')
-    clock(fused_fn, 'fused-pallas forward')
+    clock(plain_fn, 'plain per-stream forward')
+    clock(batched_fn, 'stream-batched forward')
+    clock(pallas_fn, 'fused-pallas forward')
 
 
 if __name__ == '__main__':

@@ -72,3 +72,47 @@ def test_osnet_apply_fused():
     denom = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / denom < 0.05, \
         np.abs(got - ref).max() / denom
+
+
+def test_osblock_batched_matches_plain():
+    """The stream-BATCHED OSBlock forward (default at apply time) must
+    match the literal per-stream forward over the same params."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models.osnet import (OSBlock,
+                                          force_batched_streams,
+                                          force_plain_streams)
+
+    rng = np.random.default_rng(5)
+    for ch_in, features in ((16, 64), (64, 64), (96, 128)):
+        module = OSBlock(features)
+        x = jnp.asarray(rng.normal(0, 1, (4, 16, 8, ch_in))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        variables = module.init(jax.random.PRNGKey(7), x)
+        with force_plain_streams():
+            ref = np.asarray(module.apply(variables, x), np.float32)
+        with force_batched_streams():
+            got = np.asarray(module.apply(variables, x), np.float32)
+        denom = np.abs(ref).max() + 1e-6
+        assert np.abs(got - ref).max() / denom < 0.03, \
+            (ch_in, features, np.abs(got - ref).max() / denom)
+
+
+def test_osnet_batched_embedding_matches_plain():
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models.osnet import (OSNet,
+                                          force_batched_streams,
+                                          force_plain_streams)
+
+    rng = np.random.default_rng(6)
+    module = OSNet(channels=(16, 64, 96, 128), feature_dim=512)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 64, 32, 3)).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(2), x)
+    with force_plain_streams():
+        ref = np.asarray(module.apply(variables, x), np.float32)
+    with force_batched_streams():
+        got = np.asarray(module.apply(variables, x), np.float32)
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / denom < 0.05, \
+        np.abs(got - ref).max() / denom
