@@ -159,10 +159,10 @@ class OSBlock(nn.Module):
       ONE block-diagonal 1x1 matmul + ONE shifted-FMA depthwise + ONE
       folded BN — because depthwise convs and per-channel BN are exact
       under channel concatenation, and a block-diagonal dense matmul is
-      the same dot rows plus f32-accumulated zeros. The OSNet trunk is
-      fusion-LAUNCH-bound, not compute-bound (batch-insensitive at 2.9
-      ms; docs/PERFORMANCE.md r5 A/Bs), so fewer, larger fusions is the
-      lever that works where int8 and Pallas measured negative."""
+      the same dot rows plus f32-accumulated zeros. MEASURED SLOWER on
+      v5e (4.03 vs 2.76 ms at B=64): the relayouts it adds outweigh the
+      launches it saves — see docs/PERFORMANCE.md r5 A/Bs. Off by
+      default (FASTMOT_OSNET_BATCHED=1 enables)."""
     features: int
     bottleneck_reduction: int = 4
 
