@@ -706,23 +706,21 @@ def _preprocess_jit(spec: FlowSpec, frame_bgr: jax.Array):
     candidates — so the per-frame flow step never recomputes
     previous-frame quantities.
     """
-    # bf16 pyramid with INTEGER-ROUNDED levels: cv2's optical-flow
-    # pyramids are u8 images (cvtColor/resize/pyrDown all round to u8),
-    # and integers <= 256 are exact in bf16 — so rounding each level
-    # both matches the reference numerics MORE closely than the old f32
-    # pyramid and makes bf16 a lossless storage dtype. Halves the
-    # preprocess resize/pyramid HBM traffic and the chained-flow loop
-    # carry (the r4 budget had ~0.85 ms/cycle of f32 frame-layout
-    # copies feeding the resize matmuls).
+    # f32 pyramid. A bf16 integer-rounded pyramid was tried in r5
+    # (halves resize/carry traffic, arguably closer to cv2's u8
+    # pyramids): it bought only ~0.04 ms/frame on the trace but cost
+    # ~3 MOTA points on the CLI accuracy harness (test_app_cli) —
+    # sub-level precision in the DOWNSAMPLE chain matters to LK even
+    # though the window tables quantize to u8. Reverted; see
+    # docs/PERFORMANCE.md negative results.
     f = frame_bgr.astype(jnp.float32)
-    # OpenCV BGR2GRAY weights, rounded to u8 values like cvtColor
-    gray = jnp.round(f[..., 2] * 0.299 + f[..., 1] * 0.587
-                     + f[..., 0] * 0.114).astype(jnp.bfloat16)
+    # OpenCV BGR2GRAY weights
+    gray = f[..., 2] * 0.299 + f[..., 1] * 0.587 + f[..., 0] * 0.114
     ow, oh = spec.opt_size
-    base = jnp.round(_resize_bilinear(gray, (oh, ow)))
+    base = _resize_bilinear(gray, (oh, ow))
     pyr = [base]
     for _ in range(spec.max_level):
-        pyr.append(jnp.round(_downsample2(pyr[-1])))
+        pyr.append(_downsample2(pyr[-1]))
 
     # ONE combined f16 window table (value + gradient halo) for ALL
     # levels, concatenated along rows so the fused multi-level LK loop

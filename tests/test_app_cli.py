@@ -164,7 +164,14 @@ def test_app_mota_idf1(app_run):
 def test_app_golden_file(app_run):
     """Tolerance golden compare: same frames, same IDs, boxes within 2 px
     of the committed run (regenerate: delete the file and run this test;
-    it writes the golden when absent)."""
+    it writes the golden when absent).
+
+    The golden is MACHINE-pinned even though the run is CPU-pinned: XLA
+    CPU codegen differs across host CPU generations (observed round 5 —
+    the round-3 golden failed on a new host at the round-4 snapshot
+    commit, boxes off by up to 8 px and one ID flip). On a fresh host,
+    regenerate once and rely on test_app_mota_idf1 (absolute accuracy
+    bounds) to guard real quality."""
     out, _ = app_run
     if not GOLDEN.exists():
         GOLDEN.parent.mkdir(parents=True, exist_ok=True)
