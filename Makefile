@@ -10,9 +10,10 @@ test:
 # end-to-end run — the subprocess CLI matrix, multi-seed fuzzing and the
 # heaviest compile variants (calibrated-OSNet int8, SSDMobileNetV2/P6
 # roundtrips, flagship dryrun) are marked `slow` and stay in `make test`.
-# Measured on this 8-device CPU mesh: ~14 min with a COLD XLA cache
-# (compile-dominated), ~4-5 min warm (fastmot_tpu persists compiles to
-# ~/.cache/fastmot_tpu_xla, so only the first run of a checkout is cold).
+# Measured 14-24 min with a COLD XLA cache (compile-dominated; the high
+# end is a loaded/slower host), ~4-16 min warm (fastmot_tpu persists
+# compiles to ~/.cache/fastmot_tpu_xla keyed by host CPU, so only the
+# first run of a checkout on a given host class is cold).
 test-fast:
 	$(CPU_MESH) python -m pytest tests/ -q -m "not slow"
 

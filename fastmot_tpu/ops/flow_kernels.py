@@ -166,16 +166,33 @@ def _grid_candidates(resp: jax.Array, cell: int):
 
     Plays the role of GFTT's minDistance: at most one candidate per
     ``cell`` x ``cell`` pixels guarantees spread-out corners.
-    """
+
+    Formulated as two ``reduce_window`` pools (max of the response,
+    then min of the winner-masked linear index — row-major first-match,
+    identical tie behavior to a flattened argmax) instead of the
+    obvious reshape/transpose: splitting the lane dimension of a
+    full-res [720, 1280] map into [gh, gw, cell^2] cost ~0.85 ms per
+    5-frame preprocess in relayout copies on v5e (r5 op trace,
+    reshape.100/copy.1338); pooling keeps the native layout."""
     h, w = resp.shape
     gh, gw = h // cell, w // cell
-    r = resp[:gh * cell, :gw * cell].reshape(gh, cell, gw, cell)
-    r = r.transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
-    idx = jnp.argmax(r, axis=-1)
-    score = jnp.max(r, axis=-1)
-    cy = jnp.arange(gh)[:, None] * cell + idx // cell
-    cx = jnp.arange(gw)[None, :] * cell + idx % cell
-    pts = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1).astype(jnp.float32)
+    r = resp[:gh * cell, :gw * cell]
+    win = (cell, cell)
+    score = jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, win, win,
+                                  'VALID')                      # [gh, gw]
+    # winner mask at full res (first row-major max per cell wins):
+    # linear index of every winning pixel, min-pooled per cell
+    up = jnp.repeat(jnp.repeat(score, cell, axis=0), cell, axis=1)
+    lin = (jnp.arange(gh * cell, dtype=jnp.int32)[:, None] * w
+           + jnp.arange(gw * cell, dtype=jnp.int32)[None, :])
+    big = jnp.int32(h * w)
+    masked = jnp.where(r >= up, lin, big)
+    win_idx = jax.lax.reduce_window(masked, big, jax.lax.min, win, win,
+                                    'VALID')                    # [gh, gw]
+    cy = win_idx // w
+    cx = win_idx % w
+    pts = jnp.stack([cx.reshape(-1), cy.reshape(-1)],
+                    axis=-1).astype(jnp.float32)
     return pts, score.reshape(-1)
 
 
