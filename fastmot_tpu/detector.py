@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import abc
 import configparser
+import os
 from collections import defaultdict
 from functools import partial
 from pathlib import Path
@@ -25,6 +26,12 @@ from .ops import geometry as geom
 
 MAX_DETS = 128      # padded capacity of the final detection set
 MAX_RAW = 1024      # candidates entering NMS after confidence filtering
+
+# build YOLO graphs with the phase-packed (fused space-to-depth) letterbox
+# when the model's stem folds — FASTMOT_PACKED_STEM=0 restores the
+# in-graph reshape/transpose path (the two are bit-identical; the knob
+# exists for A/B tracing)
+PACKED_STEM = os.environ.get('FASTMOT_PACKED_STEM', '1') != '0'
 
 DET_DTYPE = np.dtype(
     [('tlbr', float, 4),
@@ -89,6 +96,33 @@ def _resize_bilinear_rgb(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
                      precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum('px,oxc->opc', wx, tmp,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _resize_phase_packed(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize DIRECTLY into space-to-depth phase packing:
+    returns [oh/2, ow/2, 4c] with channel order (qy, qx, c), bit-identical
+    to ``_space_to_depth(_resize_bilinear_rgb(img, out_hw)[None])[0]``.
+
+    The four phases are row/column subsets of the resize output, so the
+    phase split is absorbed into the interpolation-weight CONSTANTS
+    (``wy[q::2]`` / ``wx[p::2]``) — each output element is the same dot
+    product as in the plain resize, just routed to its packed position by
+    the matmul instead of a post-hoc reshape/transpose. That relayout
+    shuffle measured ~0.36 ms/call of the 2.02 ms YOLOv4-512 graph on
+    v5e (reshape.2858 + copy.188, r5 op trace); this formulation deletes
+    it for zero extra FLOPs."""
+    h, w = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    assert oh % 2 == 0 and ow % 2 == 0, (oh, ow)
+    wy = _lerp_matrix(h, oh)
+    wx = _lerp_matrix(w, ow)
+    tmps = [jnp.einsum('oy,yxc->oxc', wy[q::2], img,
+                       precision=jax.lax.Precision.HIGHEST)
+            for q in (0, 1)]
+    parts = [jnp.einsum('px,oxc->opc', wx[p::2], t,
+                        precision=jax.lax.Precision.HIGHEST)
+             for t in tmps for p in (0, 1)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _nms_and_gate(det_out, label_mask, conf_thresh, nms_thresh, max_area,
@@ -223,15 +257,39 @@ class YOLODetector(Detector):
         min_ar = self.min_aspect_ratio
         decode = self._decode_heads
 
-        @jax.jit
-        def net_kernel(params, frame):
-            f = frame.astype(jnp.float32)
-            rgb = f[..., ::-1] / 255.0
-            resized = _resize_bilinear_rgb(rgb, (rh, rw))
-            canvas = jnp.full((ih, iw, 3), 0.5, jnp.float32)
-            canvas = jax.lax.dynamic_update_slice(canvas, resized, (oy, ox, 0))
-            heads = module.apply(params, canvas[None])
-            return decode(heads, anchors, scales, (ih, iw), new_coords)[0]
+        # phase-packed preprocessing: when the darknet stem folds to
+        # space-to-depth and the letterbox geometry is 2-aligned, build
+        # the packed [ih/2, iw/2, 12] input inside the resize matmuls
+        # (see _resize_phase_packed) instead of shuffling layout in-graph
+        pack = (PACKED_STEM and self.quantize is None
+                and hasattr(module, 'stem_packs')
+                and module.stem_packs(ih, iw)
+                and ih % 2 == 0 and iw % 2 == 0
+                and rh % 2 == 0 and rw % 2 == 0
+                and oy % 2 == 0 and ox % 2 == 0)
+
+        if pack:
+            @jax.jit
+            def net_kernel(params, frame):
+                f = frame.astype(jnp.float32)
+                rgb = f[..., ::-1] / 255.0
+                packed = _resize_phase_packed(rgb, (rh, rw))
+                canvas = jnp.full((ih // 2, iw // 2, 4 * c), 0.5, jnp.float32)
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, packed, (oy // 2, ox // 2, 0))
+                heads = module.apply(params, canvas[None], prepacked=True)
+                return decode(heads, anchors, scales, (ih, iw), new_coords)[0]
+        else:
+            @jax.jit
+            def net_kernel(params, frame):
+                f = frame.astype(jnp.float32)
+                rgb = f[..., ::-1] / 255.0
+                resized = _resize_bilinear_rgb(rgb, (rh, rw))
+                canvas = jnp.full((ih, iw, 3), 0.5, jnp.float32)
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, resized, (oy, ox, 0))
+                heads = module.apply(params, canvas[None])
+                return decode(heads, anchors, scales, (ih, iw), new_coords)[0]
 
         # NMS in its own small kernel: the score-ordered suppression
         # while-loop runs ~an order of magnitude faster than when fused

@@ -201,12 +201,12 @@ class DarknetModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
 
-    def _stem_plan(self, layers, x):
+    def _stem_plan(self, layers, h, w):
         """Number of leading layers the s2d stem path replaces (0 = no
         fold). Guarded: plain 3x3 group-1 convs, even input size, and no
         route/shortcut referencing a layer whose stored output would be
         phase-packed."""
-        if not self.s2d_stem or x.shape[1] % 2 or x.shape[2] % 2:
+        if not self.s2d_stem or h % 2 or w % 2:
             return 0
         refd = set()
         for i, sec in enumerate(layers):
@@ -245,15 +245,35 @@ class DarknetModule(nn.Module):
             y = _PackedBN(filters, tile, name=f'bn{i}')(y)
         return _DN_ACTS[act](y)
 
+    def stem_packs(self, h, w):
+        """True if ``__call__`` would fold the stem for an (h, w) input —
+        i.e. a caller may pass phase-packed input via ``prepacked=True``.
+        Pure section inspection; usable outside apply()."""
+        layers = [s for s in self.sections if s['type'] != 'net']
+        return self._stem_plan(layers, h, w) > 0
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prepacked=False):
+        """``prepacked=True`` means ``x`` is ALREADY in space-to-depth
+        form [N, H/2, W/2, 4C] with (qy, qx, c) channel packing (the
+        exact `_space_to_depth` layout) — the caller built it for free
+        inside its preprocessing matmuls (detector._resize_phase_packed),
+        so the in-graph relayout shuffle is skipped. Requires a foldable
+        stem (raises otherwise); the parameter tree is identical."""
         outputs = []        # per-layer outputs (index aligned with layers)
         heads = []
         layers = [s for s in self.sections if s['type'] != 'net']
-        stem_n = self._stem_plan(layers, x)
+        if prepacked:
+            ih, iw = x.shape[1] * 2, x.shape[2] * 2
+            stem_n = self._stem_plan(layers, ih, iw)
+            if not stem_n:
+                raise ValueError('prepacked input requires a foldable '
+                                 's2d stem (see _stem_plan guards)')
+        else:
+            stem_n = self._stem_plan(layers, x.shape[1], x.shape[2])
         if stem_n:
-            cin = x.shape[-1]
-            packed = _space_to_depth(x)
+            cin = x.shape[-1] // 4 if prepacked else x.shape[-1]
+            packed = x if prepacked else _space_to_depth(x)
             if stem_n == 1:
                 x = self._stem_layer(0, layers[0], packed, cin, 's2')
                 outputs.append(x)

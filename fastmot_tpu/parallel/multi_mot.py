@@ -70,9 +70,23 @@ class BatchedYOLODetector:
         conf, nmsr = d.conf_thresh, d.nms_thresh
         max_area, min_ar = d.max_area, d.min_aspect_ratio
 
+        # same phase-packed (fused s2d) letterbox as the single-stream
+        # kernel (detector.py): skip the in-graph layout shuffle when the
+        # stem folds and the geometry is 2-aligned
+        from ..detector import PACKED_STEM, _resize_phase_packed
+        pack = (PACKED_STEM and getattr(d, 'quantize', None) is None
+                and hasattr(module, 'stem_packs') and module.stem_packs(ih, iw)
+                and ih % 2 == 0 and iw % 2 == 0 and rh % 2 == 0
+                and rw % 2 == 0 and oy % 2 == 0 and ox % 2 == 0)
+
         def one_frame_canvas(frame):
             f = frame.astype(jnp.float32)
             rgb = f[..., ::-1] / 255.0
+            if pack:
+                packed = _resize_phase_packed(rgb, (rh, rw))
+                canvas = jnp.full((ih // 2, iw // 2, 4 * c), 0.5, jnp.float32)
+                return jax.lax.dynamic_update_slice(
+                    canvas, packed, (oy // 2, ox // 2, 0))
             resized = _resize_bilinear_rgb(rgb, (rh, rw))
             canvas = jnp.full((ih, iw, 3), 0.5, jnp.float32)
             return jax.lax.dynamic_update_slice(canvas, resized, (oy, ox, 0))
@@ -80,7 +94,8 @@ class BatchedYOLODetector:
         @jax.jit
         def kernel(params, frames):
             canvases = jax.vmap(one_frame_canvas)(frames)   # [S, ih, iw, 3]
-            heads = module.apply(params, canvases)          # batched MXU work
+            heads = module.apply(params, canvases,
+                                 prepacked=pack)            # batched MXU work
             det_out = decode_heads(heads, anchors, scales, (ih, iw),
                                    new_coords)              # [S, N, 7]
             return jax.vmap(

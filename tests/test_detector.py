@@ -101,6 +101,62 @@ def test_yolo_detector_smoke(rng):
         assert np.all(np.diff(out.label) >= 0)  # class-sorted
 
 
+def test_phase_packed_resize_bitwise(rng):
+    """_resize_phase_packed must equal s2d(resize) BIT-exactly — the
+    phase split only repartitions matmul output rows (detector.py)."""
+    import jax.numpy as jnp
+    from fastmot_tpu.detector import (_resize_bilinear_rgb,
+                                      _resize_phase_packed)
+    from fastmot_tpu.models.darknet import _space_to_depth
+
+    for h, w, oh, ow in ((180, 320, 128, 128), (720, 1280, 512, 512),
+                         (96, 100, 64, 32)):
+        img = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        ref = _space_to_depth(_resize_bilinear_rgb(img, (oh, ow))[None])[0]
+        new = _resize_phase_packed(img, (oh, ow))
+        if (oh % 64, ow % 64) == (0, 0):
+            # production letterbox shapes: bit-exact (measured on CPU+TPU)
+            assert np.array_equal(np.asarray(ref), np.asarray(new)), \
+                (h, w, oh, ow)
+        else:
+            # odd shapes: the CPU matmul may block the half-height phase
+            # matmuls differently from the full resize -> 1-ulp drift
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                       atol=3e-7, rtol=0)
+
+
+def test_prepacked_darknet_apply_bitwise(rng):
+    """DarknetModule(prepacked=True) over s2d input must reproduce the
+    plain apply bit-exactly (same fold, skipped in-graph shuffle)."""
+    import jax
+    import jax.numpy as jnp
+    from fastmot_tpu.models import yolo as yz
+    from fastmot_tpu.models.darknet import _space_to_depth
+
+    mod = yz.YOLOv4Tiny.build()
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    for a, b in zip(mod.apply(params, x),
+                    mod.apply(params, _space_to_depth(x), prepacked=True)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_yolo_packed_stem_end_to_end_bitwise(rng, monkeypatch):
+    """The packed-letterbox YOLO kernel (PACKED_STEM) and the legacy
+    in-graph s2d path produce bit-identical detection sets."""
+    from fastmot_tpu import detector as det_mod
+
+    frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    outs = []
+    for packed in (True, False):
+        monkeypatch.setattr(det_mod, 'PACKED_STEM', packed)
+        det = det_mod.YOLODetector((640, 480), (0,), model='YOLOv4Tiny',
+                                   conf_thresh=0.05, min_aspect_ratio=0.0)
+        outs.append(det(frame))
+    assert np.array_equal(outs[0], outs[1])
+
+
 @pytest.mark.slow
 def test_ssd_detector_smoke(rng):
     from fastmot_tpu.detector import SSDDetector
